@@ -1,0 +1,258 @@
+package graft.core
+
+/** Single closed vertex chain on the sphere; the interior is on the left of
+  * the directed edges (CCW loops enclose small areas)
+  * (/root/reference/s2/loop.go:27-162,590-628).
+  *
+  * Containment parity is counted from a fixed origin point, bootstrapped via
+  * the wedge test at vertex 1 exactly like the reference (loop.go:125-162) so
+  * results are bit-compatible. Point containment uses the brute-force
+  * crossing count; at engine scale the covering join prunes candidates so
+  * each refine call sees only boundary-cell points.
+  */
+final class Loop private (val vertices: Array[Vec3]) extends S2Region {
+  import EdgeCrossings._
+
+  /** Whether the fixed origin point is inside; part of the wire format. */
+  val originInside: Boolean = computeOriginInside()
+
+  /** Conservative lat/lng bound of the loop (loop.go:175-216). */
+  val bound: SphereRect = computeBound()
+
+  /** Bound that contains the bounds of all subregions. */
+  val subregionBound: SphereRect = RectBounder.expandForSubregions(bound)
+
+  def numVertices: Int = vertices.length
+
+  /** Vertex with wraparound (vertex(n) == vertex(0)). */
+  def vertex(i: Int): Vec3 = vertices(i % vertices.length)
+
+  def isEmptyOrFull: Boolean = vertices.length == 1
+  def isEmpty: Boolean = isEmptyOrFull && !originInside
+  def isFull: Boolean = isEmptyOrFull && originInside
+
+  private def computeOriginInside(): Boolean = {
+    if (vertices.length < 3) {
+      if (!isEmptyOrFull) return false
+      return vertices(0).z < 0
+    }
+    val v1Inside = vertices(0) != vertices(1) && vertices(2) != vertices(1) &&
+      angleContainsVertex(vertices(0), vertices(1), vertices(2))
+    // Guess origin outside; flip if vertex-1 containment disagrees.
+    val v1ContainedIfOutside = bruteForceContains(vertices(1), originIn = false)
+    v1Inside != v1ContainedIfOutside
+  }
+
+  private def computeBound(): SphereRect = {
+    if (isEmptyOrFull) {
+      return if (isEmpty) SphereRect.empty else SphereRect.full
+    }
+    val bounder = new RectBounder
+    var i = 0
+    while (i <= vertices.length) { bounder.addPoint(vertex(i)); i += 1 }
+    var b = bounder.rectBound
+    if (bruteForceContains(Vec3(0, 0, 1), originInside)) {
+      b = SphereRect(R1Interval(b.lat.lo, math.Pi / 2), S1Interval.full)
+    }
+    if (b.lng.isFull && bruteForceContains(Vec3(0, 0, -1), originInside)) {
+      b = SphereRect(R1Interval(-math.Pi / 2, b.lat.hi), b.lng)
+    }
+    b
+  }
+
+  private def bruteForceContains(p: Vec3, originIn: Boolean): Boolean = {
+    var inside = originIn
+    val crosser = new EdgeCrosser(originPoint, p)
+    crosser.restartAt(vertex(0))
+    var i = 1
+    while (i <= vertices.length) { // vertex 0 appended again at the end
+      inside = inside != crosser.edgeOrVertexChainCrossing(vertex(i))
+      i += 1
+    }
+    inside
+  }
+
+  /** Brute-force PIP (loop.go:590-598). */
+  def bruteForceContainsPoint(p: Vec3): Boolean =
+    bruteForceContains(p, originInside)
+
+  def containsPoint(p: Vec3): Boolean = {
+    if (!bound.containsPoint(p)) return false
+    bruteForceContainsPoint(p)
+  }
+
+  /** Whether the loop boundary passes through the cell: any loop edge
+    * crosses a cell edge, or a loop vertex lies inside the (closed) cell.
+    */
+  private def boundaryIntersectsCell(cell: Cell): Boolean = {
+    if (isEmptyOrFull) return false
+    var i = 0
+    while (i < vertices.length) {
+      if (cell.containsPoint(vertices(i))) return true
+      i += 1
+    }
+    val cv = Array.tabulate(4)(cell.vertex)
+    i = 0
+    while (i < vertices.length) {
+      val crosser = new EdgeCrosser(vertex(i), vertex(i + 1))
+      var k = 0
+      while (k < 4) {
+        if (crosser.edgeOrVertexCrossingTo(cv(k), cv((k + 1) & 3))) return true
+        k += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  def containsCell(cell: Cell): Boolean = {
+    if (!bound.containsPoint(cell.center)) return false
+    !boundaryIntersectsCell(cell) && containsPoint(cell.vertex(0))
+  }
+
+  def intersectsCell(cell: Cell): Boolean = {
+    if (isEmpty) return false
+    if (isFull) return true
+    if (!bound.intersects(cell.rectBound)) return false
+    boundaryIntersectsCell(cell) || containsPoint(cell.vertex(0))
+  }
+
+  def capBound: Cap = {
+    // Bounding cap derived from the rect bound's center/corners.
+    if (isEmpty) return Cap.empty
+    if (isFull) return Cap.full
+    val ctrLat = bound.lat.center
+    val ctrLng = bound.lng.center
+    var c = Cap.fromPoint(LatLng.toPoint(ctrLat, ctrLng))
+    var i = 0
+    while (i < vertices.length) { c = c.addPoint(vertices(i)); i += 1 }
+    c
+  }
+
+  def rectBound: SphereRect = bound
+
+  def cellUnionBound: Array[Long] = capBound.cellUnionBound
+
+  /** Signed turning angle sum; > 0 for CCW "normalized" loops. */
+  def isNormalized: Boolean = area <= 2 * math.Pi + 1e-10
+
+  /** Invert the loop in place semantics: returns the complement loop. */
+  def inverted: Loop = new Loop(vertices.reverse)
+
+  def normalized: Loop = if (isNormalized) this else inverted
+
+  /** Loop area in steradians, in [0, 4*Pi], via the signed surface integral
+    * (loop.go:1007-1070 semantics — Kahan-free simplified form: area of a
+    * spherical polygon = sum of triangle areas from an interior fan with
+    * sign handling done by the parity of the origin).
+    */
+  def area: Double = {
+    if (isEmptyOrFull) return if (originInside) 4 * math.Pi else 0.0
+    var a = turningAngleArea()
+    if (a < 0) a += 4 * math.Pi
+    if (a > 4 * math.Pi) a = 4 * math.Pi
+    if (a < 0) a = 0
+    a
+  }
+
+  /** Gauss-Bonnet: area = 2*Pi - sum of turning angles. */
+  private def turningAngleArea(): Double = {
+    var sum = 0.0
+    var i = 0
+    val n = vertices.length
+    while (i < n) {
+      val a = vertex((i + n - 1) % n)
+      val b = vertex(i)
+      val c = vertex(i + 1)
+      sum += turnAngle(a, b, c)
+      i += 1
+    }
+    2 * math.Pi - sum
+  }
+
+  /** Exterior (turning) angle at b going a->b->c, positive for left turns
+    * (point_measures.go:120-150).
+    */
+  private def turnAngle(a: Vec3, b: Vec3, c: Vec3): Double = {
+    val angle = pointCross(a, b).angle(pointCross(b, c))
+    if (Predicates.sign(a, b, c)) angle else -angle
+  }
+
+  /** Centroid of the loop interior times its area (not unit length). */
+  def centroidTimesArea: Vec3 = {
+    // Fan of triangles from vertex(0); triangle centroid contribution per
+    // centroids.go:61-100 (TrueCentroid of triangle).
+    var sum = Vec3.zero
+    var i = 1
+    while (i + 1 <= vertices.length - 1) {
+      sum = sum + Centroids.trueCentroid(vertices(0), vertices(i), vertices(i + 1))
+      i += 1
+    }
+    sum
+  }
+}
+
+object Loop {
+  /** Build from vertices; does NOT take ownership normalization decisions
+    * (loop.go:77-105).
+    */
+  def fromPoints(points: Array[Vec3]): Loop = new Loop(points)
+
+  def fromLatLngsDegrees(latLngs: Seq[(Double, Double)]): Loop =
+    new Loop(latLngs.map { case (lat, lng) => LatLng.toPointDegrees(lat, lng) }.toArray)
+
+  /** Parse the reference's text fixture format "lat:lng, lat:lng, ..."
+    * in degrees (textformat_test.go:15-30).
+    */
+  def parse(s: String): Loop =
+    fromLatLngsDegrees(s.split(",").map(_.trim).filter(_.nonEmpty).map { tok =>
+      val Array(lat, lng) = tok.split(":").map(_.trim.toDouble)
+      (lat, lng)
+    }.toSeq)
+
+  val empty: Loop = new Loop(Array(Vec3(0, 0, 1)))
+  val full: Loop = new Loop(Array(Vec3(0, 0, -1)))
+
+  /** Regular polygon loop: numVertices vertices on a circle of the given
+    * angular radius around center (loop.go:742-750, point.go:148-172).
+    */
+  def regularLoop(center: Vec3, radiusRad: Double, numVertices: Int): Loop = {
+    // Right-handed frame (x,y,z=center) per matrix3x3.go:104-114.
+    val z = center
+    val y = z.ortho
+    val x = y.cross(z)
+    val cosR = math.cos(radiusRad)
+    val sinR = math.sin(radiusRad)
+    val step = 2 * math.Pi / numVertices
+    val verts = Array.tabulate(numVertices) { i =>
+      val angle = i * step
+      val p = Vec3(sinR * math.cos(angle), sinR * math.sin(angle), cosR)
+      // fromFrame: m * p with columns (x, y, z)
+      (x * p.x + y * p.y + z * p.z).normalize
+    }
+    new Loop(verts)
+  }
+}
+
+/** Triangle centroid kernels (/root/reference/s2/centroids.go:61-133). */
+object Centroids {
+  /** True centroid of spherical triangle ABC times its area. */
+  def trueCentroid(a: Vec3, b: Vec3, c: Vec3): Vec3 = {
+    // Use the exact formula from centroids.go:78-110.
+    val angleA = b.angle(c)
+    val angleB = c.angle(a)
+    val angleC = a.angle(b)
+    val ra = if (angleA == 0) 1.0 else angleA / math.sin(angleA)
+    val rb = if (angleB == 0) 1.0 else angleB / math.sin(angleB)
+    val rc = if (angleC == 0) 1.0 else angleC / math.sin(angleC)
+
+    val xv = Vec3(a.x, b.x, c.x)
+    val yv = Vec3(a.y, b.y, c.y)
+    val zv = Vec3(a.z, b.z, c.z)
+    val r = Vec3(ra, rb, rc)
+    Vec3(
+      0.5 * yv.cross(zv).dot(r),
+      0.5 * zv.cross(xv).dot(r),
+      0.5 * xv.cross(yv).dot(r))
+  }
+}

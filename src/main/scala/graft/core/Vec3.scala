@@ -35,12 +35,14 @@ final case class Vec3(x: Double, y: Double, z: Double) {
     else { if (t.y > t.z) 1 else 2 }
   }
 
-  /** A unit vector orthogonal to this one (r3/vector.go:104-115). */
+  /** A unit vector orthogonal to this one; same deterministic choice as
+    * the reference's Ortho (s2/point.go:250-261).
+    */
   def ortho: Vec3 = {
     val o = largestComponent match {
-      case 0 => Vec3(0.012, 1, 0.00457)
-      case 1 => Vec3(0.012, 0.0053, 1)
-      case _ => Vec3(1, 0.0053, 0.00457)
+      case 0 => Vec3(0.012, 0.0053, 1)
+      case 1 => Vec3(1, 0.0053, 0.00457)
+      case _ => Vec3(0.012, 1, 0.00457)
     }
     cross(o).normalize
   }

@@ -38,6 +38,17 @@ object KernelDemo {
     println(s"rows=$n distinct_l4=${groups.count()}")
     groups.withColumn("l4_token", tokenOf(col("cell_l4"))).show(10, false)
     df.select("lat", "lng", "token").show(5, false)
+
+    // Point-in-polygon refine with a broadcast loop (exact predicates on
+    // executors): a 2000 km disc-polygon inside the derived data range.
+    val loop = graft.core.Loop.regularLoop(
+      graft.core.LatLng.toPointDegrees(0, -100),
+      graft.core.Earth.angleFromMeters(2e6), 64)
+    val loopB = spark.sparkContext.broadcast(loop)
+    val pip = udf((lat: Double, lng: Double) =>
+      loopB.value.containsPoint(graft.core.LatLng.toPointDegrees(lat, lng)))
+    val inside = df.filter(pip(col("lat"), col("lng"))).count()
+    println(s"pip_inside=$inside of $n")
     spark.stop()
   }
 }
