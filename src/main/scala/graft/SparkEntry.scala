@@ -1,13 +1,198 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.core.{Earth, LatLng, Loop}
+import graft.ops.SpatialJoin
+import graft.sources.PagesSource
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2), with
+  * DuckDB-checkable oracle SQL wherever the semantics are SQL-expressible.
+  *
+  * Spatial queries run over the deterministic pages fixture
+  * (sources/PagesSource.scala); the oracle reads the same parquet bytes, so
+  * set-equality of output rows is a true correctness check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The pages fixture parquet path used by the DuckDB oracle (driver runs
+    * correctness at sf0.01 => n=20000 per TESTDATA.md).
+    */
+  private val oraclePages = "/root/repo/work/pages_n20000.parquet/*.parquet"
+  private val oracleSf = "/root/testdata/sf0.01"
+
+  /** Geocoded pages for the given scale dir. */
+  private def pages(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = PagesSource.pagesParquet(spark, sfDir)
+    PagesSource.withLatLng(spark.read.parquet(path))
+  }
+
+  /** The 8 city admin polygons: regular 64-gons, radius 25..400 km
+    * (FIXTURES.md §2). Deterministic given the fixed city centers.
+    */
+  def cityPolygons: Seq[(Long, Loop)] =
+    PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
+      val radiusMeters = 25000.0 * (1 << (i % 5)) // 25,50,100,200,400 km
+      (i.toLong,
+        Loop.regularLoop(LatLng.toPointDegrees(lat, lng),
+          Earth.angleFromMeters(radiusMeters), 64))
+    }
+
+  /** SQL oracle predicate for convex-polygon PIP: point strictly inside iff
+    * every edge normal has positive dot product with the point. The edge
+    * normals are baked into the SQL as double literals, so DuckDB checks
+    * the same geometry without any S2 code.
+    */
+  private def convexPipSql(loop: Loop): String = {
+    val n = loop.numVertices
+    val terms = (0 until n).map { i =>
+      val a = loop.vertex(i)
+      val b = loop.vertex(i + 1)
+      val nrm = a.cross(b)
+      f"(${nrm.x}%.17g*px + ${nrm.y}%.17g*py + ${nrm.z}%.17g*pz > 0)"
+    }
+    terms.mkString("(", " AND ", ")")
+  }
+
+  private val parseGeoSqlLat =
+    "CAST(regexp_extract(text, 'geo:(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1) AS DOUBLE)"
+  private val parseGeoSqlLng =
+    "CAST(regexp_extract(text, 'geo:(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2) AS DOUBLE)"
+
+  /** Common oracle CTE: pages with parsed lat/lng and unit vector. */
+  private def pagesCte: String =
+    s"""WITH pages AS (
+       |  SELECT url, text,
+       |    $parseGeoSqlLat AS lat,
+       |    $parseGeoSqlLng AS lng
+       |  FROM read_parquet('$oraclePages')
+       |), pts AS (
+       |  SELECT url, lat, lng,
+       |    cos(radians(lng))*cos(radians(lat)) AS px,
+       |    sin(radians(lng))*cos(radians(lat)) AS py,
+       |    sin(radians(lat)) AS pz
+       |  FROM pages
+       |)""".stripMargin
+
+  /** City-center rectangles for the rect join (3x2 degrees, no wrap). */
+  def cityRects: Seq[(Long, Double, Double, Double, Double)] =
+    PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
+      (i.toLong, lat - 1.0, lng - 1.5, lat + 1.0, lng + 1.5)
+    }
+
+  // ---------------------------------------------------------------------
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pip_city")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Covering join + exact convex-PIP refine over the skewed pages table.
+    "q_pip_city" -> ((s, dir) => {
+      SpatialJoin.pipJoin(s, pages(s, dir), cityPolygons)
+        .select(col("url"), col("poly_id"))
+    }),
+
+    // Covering join with lat/lng rectangle regions (coverer + interior
+    // fast path; refine = closed rect containment).
+    "q_rect_join" -> ((s, dir) => {
+      SpatialJoin.rectJoin(s, pages(s, dir), cityRects)
+        .select(col("url"), col("rect_id"))
+    }),
+
+    // Radius join: pages within 100 km of each city center (cap covering).
+    "q_radius_100km" -> ((s, dir) => {
+      val qs = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
+        (i.toLong, la, ln, 100000.0)
+      }
+      SpatialJoin.radiusJoin(s, pages(s, dir), qs)
+        .select(col("url"), col("query_id"))
+    }),
+
+    // Cell encode + coarse aggregation: pages per level-6 cell (the
+    // "cells encoded" half of the throughput metric). Rows-only check
+    // (cell ids are not SQL-expressible) — golden parity lives in
+    // CellIdSpec.
+    "q_cell_agg" -> ((s, dir) => {
+      import graft.functions.S2
+      pages(s, dir)
+        .withColumn("cell_id", S2.cellId(col("lat"), col("lng")))
+        .withColumn("cell_l6", S2.parent(col("cell_id"), lit(6)))
+        .groupBy("cell_l6").agg(count("*").as("n_pages"))
+        .select(S2.token(col("cell_l6")).as("cell_token"), col("n_pages"))
+    }),
+
+    // Exact dedup on the documents table (hash-groupBy semantics).
+    "q_dedup_exact" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count("*").as("dup_count"))
+        .filter(col("dup_count") >= 1)
+        .select(col("canonical_id"), col("dup_count"))
+    }),
+
+    // Per-row invariant: text survives the whole pipeline byte-identical
+    // per url (join + project + repartition round trip).
+    "q_text_invariant" -> ((s, dir) => {
+      val p = pages(s, dir)
+      SpatialJoin.rectJoin(s, p, cityRects)
+        .repartition(8, col("url"))
+        .select(col("url"), sha2(col("text"), 256).as("text_sha"))
+        .distinct()
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val polys = cityPolygons
+    Map(
+      "q_pip_city" -> {
+        val branches = polys.map { case (id, loop) =>
+          s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
+
+      "q_rect_join" -> {
+        val branches = cityRects.map { case (id, latLo, lngLo, latHi, lngHi) =>
+          s"""SELECT url, $id AS rect_id FROM pts
+             | WHERE lat BETWEEN $latLo AND $latHi
+             |   AND lng BETWEEN $lngLo AND $lngHi""".stripMargin
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
+
+      "q_radius_100km" -> {
+        val branches = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
+          // same haversine formula as the engine (latlng.go:61-69)
+          s"""SELECT url, $i AS query_id FROM pts WHERE
+             | 2*atan2(
+             |   sqrt(pow(sin(0.5*(radians(lat)-radians($la))),2)
+             |     + pow(sin(0.5*(radians(lng)-radians($ln))),2)
+             |       *cos(radians($la))*cos(radians(lat))),
+             |   sqrt(greatest(0.0, 1.0 - (pow(sin(0.5*(radians(lat)-radians($la))),2)
+             |     + pow(sin(0.5*(radians(lng)-radians($ln))),2)
+             |       *cos(radians($la))*cos(radians(lat)))))
+             | ) <= ${100000.0 / Earth.RadiusMeters}""".stripMargin
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
+
+      "q_dedup_exact" ->
+        s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+           |FROM read_parquet('$oracleSf/documents.parquet')
+           |GROUP BY text HAVING count(*) >= 1""".stripMargin,
+
+      "q_text_invariant" ->
+        s"""WITH pages AS (
+           |  SELECT url, text,
+           |    $parseGeoSqlLat AS lat,
+           |    $parseGeoSqlLng AS lng
+           |  FROM read_parquet('$oraclePages')
+           |)
+           |SELECT DISTINCT url, sha256(text) AS text_sha FROM pages, (${
+          cityRects.map { case (id, latLo, lngLo, latHi, lngHi) =>
+            s"SELECT $id AS rid, $latLo AS a, $lngLo AS b, $latHi AS c, $lngHi AS d"
+          }.mkString(" UNION ALL ")}) r
+           |WHERE lat BETWEEN r.a AND r.c AND lng BETWEEN r.b AND r.d""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Native Catalyst expressions for the S2 kernel.
+  *
+  * Each wraps a static pure function from graft.core, with `doGenCode`
+  * emitting a direct static call so the whole pipeline stays inside
+  * whole-stage codegen (no UDF boxing, no serialization). The underlying
+  * bit semantics follow /root/reference/s2/cellid.go.
+  */
+object S2Expressions {
+  // Codegen-reachable static entry points (Scala object static forwarders).
+  final val K = "graft.core.CellId"
+  final val LL = "graft.core.LatLng"
+}
+
+/** s2_cellid(latDeg, lngDeg) -> level-30 leaf cell id. */
+case class S2CellIdExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lat: Any, lng: Any): Any =
+    graft.core.CellId.fromLatLngDegrees(lat.asInstanceOf[Double], lng.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${S2Expressions.K}.fromLatLngDegrees($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_cellid"
+}
+
+/** s2_parent(cell, level) -> ancestor cell id at level. */
+case class S2ParentExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(id: Any, level: Any): Any =
+    graft.core.CellId.parent(id.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${S2Expressions.K}.parent($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_parent"
+}
+
+/** s2_level(cell) -> level 0..30. */
+case class S2LevelExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.level(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.level($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_level"
+}
+
+/** s2_token(cell) -> compact hex token. */
+case class S2TokenExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(graft.core.CellId.toToken(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.unsafe.types.UTF8String.fromString(${S2Expressions.K}.toToken($a))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_token"
+}
+
+/** s2_from_token(str) -> cell id (0 when invalid). */
+case class S2FromTokenExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    graft.core.CellId.fromToken(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.fromToken($a.toString())")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_from_token"
+}
+
+/** s2_lat(cell) -> latitude of the cell center in degrees. */
+case class S2LatExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.toLatDegrees(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.toLatDegrees($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_lat"
+}
+
+/** s2_lng(cell) -> longitude of the cell center in degrees. */
+case class S2LngExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.toLngDegrees(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.toLngDegrees($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_lng"
+}
+
+/** s2_range_min(cell) / s2_range_max(cell) -> leaf range endpoints. */
+case class S2RangeMinExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.rangeMin(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.rangeMin($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_range_min"
+}
+
+case class S2RangeMaxExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.rangeMax(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.rangeMax($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_range_max"
+}
+
+/** s2_cell_contains(ancestor, cell) -> boolean (unsigned range test). */
+case class S2CellContainsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.CellId.contains(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${S2Expressions.K}.contains($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_cell_contains"
+}
+
+/** s2_neighbors(cell, level) -> array of all neighbor cells at level. */
+case class S2NeighborsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(id: Any, level: Any): Any =
+    new GenericArrayData(
+      graft.core.CellId.allNeighbors(id.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${S2Expressions.K}.allNeighbors($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_neighbors"
+}
+
+/** s2_distance(lat1, lng1, lat2, lng2) -> haversine angle in radians
+  * (degrees in).
+  */
+case class S2DistanceExpr(children: Seq[Expression])
+    extends Expression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) null
+    else {
+      val d = LatLngStatics.distanceDegrees(
+        vals(0).asInstanceOf[Double], vals(1).asInstanceOf[Double],
+        vals(2).asInstanceOf[Double], vals(3).asInstanceOf[Double])
+      d
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val nullChecks = evals.map(e => e.isNull.toString).mkString(" || ")
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          evals.map(_.code.toString).mkString("\n") + s"""
+      boolean ${ev.isNull} = $nullChecks;
+      double ${ev.value} = -1.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.LatLngStatics.distanceDegrees(
+          ${evals(0).value}, ${evals(1).value}, ${evals(2).value}, ${evals(3).value});
+      }
+      """)).code())
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  override def prettyName: String = "s2_distance"
+}
+
+/** Java-static helpers for codegen call sites. */
+object LatLngStatics {
+  def distanceDegrees(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double =
+    graft.core.LatLng.distance(
+      lat1 * graft.core.LatLng.DegToRad, lng1 * graft.core.LatLng.DegToRad,
+      lat2 * graft.core.LatLng.DegToRad, lng2 * graft.core.LatLng.DegToRad)
+
+  /** Squared chord distance between two lat/lng pairs in degrees. */
+  def chord2Degrees(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+    val a = graft.core.LatLng.toPointDegrees(lat1, lng1)
+    val b = graft.core.LatLng.toPointDegrees(lat2, lng2)
+    graft.core.LatLng.chordAngle2(a, b)
+  }
+}
+
+/** Column API + SQL registration. */
+object S2 {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def cellId(lat: Column, lng: Column): Column = col(S2CellIdExpr(expr(lat), expr(lng)))
+  def parent(cell: Column, level: Column): Column = col(S2ParentExpr(expr(cell), expr(level)))
+  def level(cell: Column): Column = col(S2LevelExpr(expr(cell)))
+  def token(cell: Column): Column = col(S2TokenExpr(expr(cell)))
+  def fromToken(tok: Column): Column = col(S2FromTokenExpr(expr(tok)))
+  def lat(cell: Column): Column = col(S2LatExpr(expr(cell)))
+  def lng(cell: Column): Column = col(S2LngExpr(expr(cell)))
+  def rangeMin(cell: Column): Column = col(S2RangeMinExpr(expr(cell)))
+  def rangeMax(cell: Column): Column = col(S2RangeMaxExpr(expr(cell)))
+  def cellContains(anc: Column, cell: Column): Column =
+    col(S2CellContainsExpr(expr(anc), expr(cell)))
+  def neighbors(cell: Column, level: Column): Column =
+    col(S2NeighborsExpr(expr(cell), expr(level)))
+  def distance(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
+    col(S2DistanceExpr(Seq(expr(lat1), expr(lng1), expr(lat2), expr(lng2))))
+
+  /** Register all functions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add1(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "builtin")
+    def add2(name: String, f: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "builtin")
+    add2("s2_cellid", S2CellIdExpr)
+    add2("s2_parent", S2ParentExpr)
+    add1("s2_level", S2LevelExpr)
+    add1("s2_token", S2TokenExpr)
+    add1("s2_from_token", S2FromTokenExpr)
+    add1("s2_lat", S2LatExpr)
+    add1("s2_lng", S2LngExpr)
+    add1("s2_range_min", S2RangeMinExpr)
+    add1("s2_range_max", S2RangeMaxExpr)
+    add2("s2_cell_contains", S2CellContainsExpr)
+    add2("s2_neighbors", S2NeighborsExpr)
+    reg.createOrReplaceTempFunction("s2_distance",
+      es => S2DistanceExpr(es.toSeq), "builtin")
+  }
+}
