@@ -121,6 +121,43 @@ object SparkEntry {
         .select(S2.token(col("cell_l6")).as("cell_token"), col("n_pages"))
     }),
 
+    // kNN join: 5 nearest pages to each city center via iterative
+    // cap-radius expansion + exact chord re-rank.
+    "q_knn5" -> ((s, dir) => {
+      val qs = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
+        (i.toLong, la, ln)
+      }
+      SpatialJoin.knnJoin(s, pages(s, dir), qs, k = 5, tieBreakCol = "url")
+        .select(col("query_id"), col("url"))
+    }),
+
+    // Raster side of tiling: Web-Mercator zoom-12 tile assignment + count
+    // per tile (vector->raster).
+    "q_tile_z12" -> ((s, dir) => {
+      import graft.functions.S2
+      pages(s, dir)
+        .withColumn("tx", S2.tileX(col("lng"), lit(12)))
+        .withColumn("ty", S2.tileY(col("lat"), lit(12)))
+        .groupBy("tx", "ty").agg(count("*").as("n_pages"))
+        .filter(col("n_pages") >= 2)
+        .select(col("tx"), col("ty"), col("n_pages"))
+    }),
+
+    // Vector side of tiling: S2 cell covering of each city's zoom-12 tile
+    // (raster->vector; rows-only check, covering validity proven in
+    // CovererSpec).
+    "q_tile_covering" -> ((s, dir) => {
+      import s.implicits._
+      val rows = PagesSource.cities.zipWithIndex.flatMap { case ((la, ln), i) =>
+        val tx = graft.core.WebMercator.tileX(ln, 12)
+        val ty = graft.core.WebMercator.tileY(la, 12)
+        graft.core.WebMercator.tileCovering(tx, ty, 12).ids.map { c =>
+          (i.toLong, tx, ty, graft.core.CellId.toToken(c))
+        }
+      }
+      rows.toDF("city_id", "tx", "ty", "cell_token")
+    }),
+
     // Exact dedup on the documents table (hash-groupBy semantics).
     "q_dedup_exact" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -175,6 +212,35 @@ object SparkEntry {
         }
         s"$pagesCte ${branches.mkString(" UNION ALL ")}"
       },
+
+      "q_knn5" -> {
+        val qVals = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
+          s"SELECT $i AS query_id, CAST($la AS DOUBLE) AS qlat, CAST($ln AS DOUBLE) AS qlng"
+        }.mkString(" UNION ALL ")
+        s"""$pagesCte, q AS ($qVals)
+           |SELECT query_id, url FROM (
+           |  SELECT q.query_id, p.url,
+           |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |      2*atan2(
+           |        sqrt(pow(sin(0.5*(radians(p.lat)-radians(q.qlat))),2)
+           |          + pow(sin(0.5*(radians(p.lng)-radians(q.qlng))),2)
+           |            *cos(radians(q.qlat))*cos(radians(p.lat))),
+           |        sqrt(greatest(0.0, 1.0 - (pow(sin(0.5*(radians(p.lat)-radians(q.qlat))),2)
+           |          + pow(sin(0.5*(radians(p.lng)-radians(q.qlng))),2)
+           |            *cos(radians(q.qlat))*cos(radians(p.lat)))))
+           |      ) ASC, p.url ASC) AS rn
+           |  FROM pts p CROSS JOIN q
+           |) WHERE rn <= 5""".stripMargin
+      },
+
+      "q_tile_z12" ->
+        s"""$pagesCte
+           |SELECT tx, ty, count(*) AS n_pages FROM (
+           |  SELECT
+           |    CAST(greatest(0, least(4095, floor((lng + 180.0)/360.0*4096.0))) AS BIGINT) AS tx,
+           |    CAST(greatest(0, least(4095, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*4096.0))) AS BIGINT) AS ty
+           |  FROM pts
+           |) GROUP BY tx, ty HAVING count(*) >= 2""".stripMargin,
 
       "q_dedup_exact" ->
         s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count

@@ -195,6 +195,32 @@ case class S2DistanceExpr(children: Seq[Expression])
   override def prettyName: String = "s2_distance"
 }
 
+/** tile_x(lngDeg, zoom) -> Web-Mercator slippy tile x index. */
+case class TileXExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lng: Any, zoom: Any): Any =
+    graft.core.WebMercator.tileX(lng.asInstanceOf[Double], zoom.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.WebMercator.tileX($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "tile_x"
+}
+
+/** tile_y(latDeg, zoom) -> Web-Mercator slippy tile y index. */
+case class TileYExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lat: Any, zoom: Any): Any =
+    graft.core.WebMercator.tileY(lat.asInstanceOf[Double], zoom.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.WebMercator.tileY($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "tile_y"
+}
+
 /** Java-static helpers for codegen call sites. */
 object LatLngStatics {
   def distanceDegrees(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double =
@@ -230,6 +256,8 @@ object S2 {
     col(S2NeighborsExpr(expr(cell), expr(level)))
   def distance(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
     col(S2DistanceExpr(Seq(expr(lat1), expr(lng1), expr(lat2), expr(lng2))))
+  def tileX(lng: Column, zoom: Column): Column = col(TileXExpr(expr(lng), expr(zoom)))
+  def tileY(lat: Column, zoom: Column): Column = col(TileYExpr(expr(lat), expr(zoom)))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -234,7 +234,8 @@ object SpatialJoin {
               queries: Seq[(Long, Double, Double)], k: Int,
               latCol: String = "lat", lngCol: String = "lng",
               initialRadiusMeters: Double = 100000,
-              maxRounds: Int = 8): DataFrame = {
+              maxRounds: Int = 8,
+              tieBreakCol: String = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     var pending = queries
@@ -266,7 +267,10 @@ object SpatialJoin {
           graft.functions.S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
       acc = if (acc == null) brute else acc.unionByName(brute)
     }
-    val w = Window.partitionBy("query_id").orderBy(col("dist_rad").asc)
+    val order =
+      if (tieBreakCol == null) Seq(col("dist_rad").asc)
+      else Seq(col("dist_rad").asc, col(tieBreakCol).asc)
+    val w = Window.partitionBy("query_id").orderBy(order: _*)
     acc.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
   }
