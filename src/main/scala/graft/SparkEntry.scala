@@ -167,6 +167,112 @@ object SparkEntry {
         .select(col("canonical_id"), col("dup_count"))
     }),
 
+    // Text analysis: token counts (whitespace + BPE-ish regex),
+    // punctuation/stopword ratios, composite quality score.
+    "q_text_stats" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.qualityScore(docs, "text")
+        .withColumn("n_tokens_bpe", TextOps.tokenCountBpe(col("text")))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_bpe").cast("long").as("n_tokens_bpe"),
+          col("stop_ratio"), col("punct_ratio"), col("quality"))
+    }),
+
+    // Language ID via marker-word scoring with deterministic tie-break.
+    "q_lang_id" -> ((s, dir) => {
+      graft.ops.TextOps.langId(
+        s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select(col("doc_id"), col("pred_lang"))
+    }),
+
+    // Rolling-hash document fingerprint.
+    "q_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.ops.TextOps.fingerprint("text").as("fp"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs over documents + planted
+    // mutated copies (doc_id + 100000, one appended token).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftdupmarker")).as("text"))
+      graft.ops.Dedup.ngramJaccardPairs(
+        docs.unionByName(planted), "doc_id", "text", n = 3, threshold = 0.6)
+    }),
+
+    // MinHash + LSH candidate pairs, exact-verified (rows-only check;
+    // recall/determinism proven in DedupSpec).
+    "q_minhash_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftdupmarker")).as("text"))
+      graft.ops.Dedup.minHashLsh(s, docs.unionByName(planted),
+        "doc_id", "text", threshold = 0.6)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+    }),
+
+    // SimHash near-dup pairs at Hamming distance <= 3 (rows-only).
+    "q_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftdupmarker")).as("text"))
+      graft.ops.Dedup.simHashPairs(s, docs.unionByName(planted),
+        "doc_id", "text", maxDistance = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs (brute force, exact) over the
+    // corpus + planted perturbed copies (vec_id + 100000; even indices
+    // scaled by 1.02, odd by 0.98 -> cosine ~0.9996 with the original).
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN CAST(x AS DOUBLE) * 1.02 ELSE CAST(x AS DOUBLE) * 0.98 END AS DOUBLE))")
+          .as("embedding"))
+      graft.ops.Dedup.embeddingNearDupPairs(
+        emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+          .unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99)
+        .select(col("a_id"), col("b_id"))
+    }),
+
+    // ANN baseline: exact cosine top-3 for the first 16 vectors as queries.
+    "q_ann_top3" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // ANN scale path: hyperplane-LSH bucketed top-3 (approximate;
+    // rows-only check, recall asserted in DedupSpec).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.hyperplaneLshTopK(s, emb, queries, k = 3)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // Multimodal: decode + feature extraction over binary media payloads
+    // (stub codec, real batch plumbing; rows-only).
+    "q_multimodal" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.synthesize(s, 1000)
+      graft.ops.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("width").cast("long"),
+          col("height").cast("long"), col("channels").cast("long"),
+          col("n_bytes").cast("long"),
+          round(element_at(col("histogram"), 1), 6).as("hist0"))
+    }),
+
     // Per-row invariant: text survives the whole pipeline byte-identical
     // per url (join + project + repartition round trip).
     "q_text_invariant" -> ((s, dir) => {
@@ -241,6 +347,74 @@ object SparkEntry {
            |    CAST(greatest(0, least(4095, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*4096.0))) AS BIGINT) AS ty
            |  FROM pts
            |) GROUP BY tx, ty HAVING count(*) >= 2""".stripMargin,
+
+      "q_text_stats" -> {
+        import graft.ops.TextOps
+        val stopHits = TextOps.stopwordHitsSql("text")
+        s"""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           |  CAST($stopHits AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+           |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.5
+           |    + least((CAST($stopHits AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 4.0, 1.0) * 0.3
+           |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS quality
+           |FROM read_parquet('$oracleSf/documents.parquet')""".stripMargin
+      },
+
+      "q_lang_id" ->
+        s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang
+           |FROM read_parquet('$oracleSf/documents.parquet')""".stripMargin,
+
+      "q_fingerprint" ->
+        s"""SELECT doc_id, ${graft.ops.TextOps.fingerprintSql("text")} AS fp
+           |FROM read_parquet('$oracleSf/documents.parquet')""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' graftdupmarker'
+           |  FROM read_parquet('$oracleSf/documents.parquet')
+           |), grams AS (
+           |  SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           |    for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))]) AS g
+           |  FROM docs
+           |)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |    / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+           |FROM grams a, grams b
+           |WHERE a.doc_id < b.doc_id
+           |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |    / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.6""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+           |  FROM read_parquet('$oracleSf/embeddings.parquet')
+           |), e AS (
+           |  SELECT vec_id, emb FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    [CASE WHEN (i - 1) % 2 = 0 THEN emb[i] * 1.02 ELSE emb[i] * 0.98 END
+           |     for i in range(1, len(emb) + 1)] FROM base
+           |)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           |FROM e a, e b
+           |WHERE a.vec_id < b.vec_id
+           |  AND list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin,
+
+      "q_ann_top3" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM read_parquet('$oracleSf/embeddings.parquet')),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 16)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT q.q_id, e.vec_id,
+           |    CAST(row_number() OVER (PARTITION BY q.q_id
+           |      ORDER BY list_cosine_similarity(q.q_vec, e.embedding) DESC,
+           |               e.vec_id ASC) AS BIGINT) AS rank
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+           |) WHERE rank <= 3""".stripMargin,
 
       "q_dedup_exact" ->
         s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count

@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH,
+  * SimHash, exact n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: LSH banding turns the quadratic all-pairs problem into a
+  * groupBy on (band, bucket) — one shuffle keyed by bucket, candidates
+  * verified pairwise only inside buckets. Hot buckets (boilerplate text)
+  * are capped to bound the worst case. All hashing is seeded and
+  * deterministic: the same corpus yields the same pairs at any
+  * parallelism.
+  */
+object Dedup {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic, dependency-free. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingle hash set (sorted, distinct). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val words = text.split(" ")
+    if (words.length < n) {
+      if (text.isEmpty) Array.empty else Array(fnv1a64(text))
+    } else {
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i + n <= words.length) {
+        out(i) = fnv1a64(words.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      val d = out.distinct
+      java.util.Arrays.sort(d)
+      d
+    }
+  }
+
+  /** Exact Jaccard of two docs' word n-gram shingle sets. */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleHashes(a, n)
+    val sb = shingleHashes(b, n)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter).toDouble
+  }
+
+  // MinHash permutation parameters: (a*h + b) mod p over a Mersenne prime.
+  private val MersennePrime = (1L << 61) - 1
+  private def perms(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rng.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rng.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature of a shingle-hash set. */
+  def minHashSignature(shingles: Array[Long], ps: Array[(Long, Long)]): Array[Long] = {
+    val sig = Array.fill(ps.length)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h = shingles(i) & Long.MaxValue // non-negative
+      var k = 0
+      while (k < ps.length) {
+        val (a, b) = ps(k)
+        // (a*h + b) mod p via BigInt-free 128-bit-safe math: use
+        // Math.multiplyHigh-based mulmod.
+        val v = mulModP(a, h) + b
+        val m = if (v >= MersennePrime) v - MersennePrime else v
+        if (m < sig(k)) sig(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (a * b) mod (2^61 - 1) without overflow. */
+  private def mulModP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod p,
+    // 2^64 mod p = 8 since 2^61 = 1 (mod p) => 2^64 = 2^3.
+    var r = (lo & MersennePrime) + (lo >>> 61) + ((hi << 3) & MersennePrime) + (hi >>> 58)
+    while (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  /** MinHash + LSH candidate pairs with exact Jaccard verification.
+    *
+    * @return DataFrame(a_id, b_id, jaccard) with a_id < b_id and
+    *         jaccard >= threshold.
+    */
+  def minHashLsh(spark: SparkSession, docs: DataFrame, idCol: String,
+                 textCol: String, shingleSize: Int = 3, numHashes: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.5,
+                 seed: Long = 42, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val ps = perms(numHashes, seed)
+    val bcPs = spark.sparkContext.broadcast(ps)
+
+    val sigUdf = udf((text: String) =>
+      minHashSignature(shingleHashes(text, shingleSize), bcPs.value))
+    val sigs = docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
+      .withColumn("sig", sigUdf(col("doc_text")))
+
+    // band key = hash of the band's signature slice
+    val bandKeyUdf = udf((sig: Seq[Long], band: Int) => {
+      var h = 0xcbf29ce484222325L ^ band.toLong
+      var i = band * rowsPerBand
+      while (i < (band + 1) * rowsPerBand) {
+        h ^= sig(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    })
+
+    val banded = sigs
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bucket", bandKeyUdf(col("sig"), col("band")))
+      .select("band", "bucket", "doc_id", "doc_text")
+
+    // Pairs within a bucket (bounded): self-join per (band, bucket) would
+    // duplicate pairs found in multiple bands -> distinct at pair level.
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("doc_text")))),
+        1, maxBucket).as("members"))
+      .filter(size(col("members")) >= 2)
+
+    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < members.length) {
+        var j = i + 1
+        while (j < members.length) {
+          out += ((members(i).getLong(0), members(j).getLong(0)))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
+    val candidates = grouped
+      .select(explode(pairUdf(col("members"))).as("pair"))
+      .select(col("pair._1").as("a_id"), col("pair._2").as("b_id"))
+      .distinct()
+
+    // Verify with exact n-gram Jaccard (join texts back).
+    val textsA = docs.select(col(idCol).as("a_id"), col(textCol).as("a_text"))
+    val textsB = docs.select(col(idCol).as("b_id"), col(textCol).as("b_text"))
+    val jacUdf = udf((a: String, b: String) => ngramJaccard(a, b, shingleSize))
+    candidates
+      .join(textsA, "a_id").join(textsB, "b_id")
+      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    for (w <- text.split(" ")) {
+      val h = fnv1a64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDistance, found by
+    * banding the 64-bit hash into maxDistance+1 chunks (pigeonhole: any
+    * pair within distance d shares at least one exact chunk).
+    */
+  def simHashPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                   textCol: String, maxDistance: Int = 3): DataFrame = {
+    val nChunks = maxDistance + 1
+    val chunkBits = 64 / nChunks
+    val shUdf = udf((text: String) => simHash(text))
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
+      .withColumn("sh", shUdf(col("doc_text")))
+    val chunkUdf = udf((sh: Long, c: Int) =>
+      (sh >>> (c * chunkBits)) & ((1L << chunkBits) - 1))
+    val banded = hashed
+      .withColumn("chunk", explode(array((0 until nChunks).map(lit): _*)))
+      .withColumn("key", chunkUdf(col("sh"), col("chunk")))
+    val a = banded.select(col("chunk"), col("key"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("chunk"), col("key"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val hamming = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("hamming", hamming(col("a_sh"), col("b_sh")))
+      .filter(col("hamming") <= maxDistance)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** All-pairs word n-gram Jaccard above threshold — the exact (non-LSH)
+    * dedup reference path, with a 1:1 SQL oracle. Quadratic: use only for
+    * oracle-scale inputs; the LSH path is the scale path.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+        s"i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))").as("grams"))
+    val a = grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_grams")) + size(col("b_grams")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Cosine similarity of two float-array columns, computed with builtin
+    * higher-order functions (codegen'd, sequential accumulation order).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val na = expr(s"aggregate(${a.toString}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val nb = expr(s"aggregate(${b.toString}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above threshold (brute-force
+    * pairwise; the LSH scale path lives in Similarity.randomHyperplaneLsh).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", cosineCol(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

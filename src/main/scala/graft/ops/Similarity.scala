@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns.
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact cosine top-k via broadcast queries + window —
+  *    the correctness baseline, O(corpus x queries).
+  *  - hyperplaneLshTopK: random-hyperplane signed LSH. Corpus is bucketed
+  *    by signature band; queries probe their buckets only, then re-rank
+  *    exactly within candidates. The scale path: the corpus side is a
+  *    groupBy(bucket) shuffle done once, query fan-out is
+  *    O(bands x bucket size) per query instead of O(corpus).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: broadcast the (small) query set against the
+    * corpus, re-rank with a per-query window. Ties broken by corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cosine", Dedup.cosineCol(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nBits x dim doubles seeded. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign signature of a vector under the hyperplanes, packed to a Long
+    * per 64 bits (here nBits <= 64 -> one Long).
+    */
+  def signature(vec: Array[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      var i = 0
+      while (i < p.length && i < vec.length) { dot += p(i) * vec(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** ANN top-k via hyperplane LSH banding + exact re-rank of candidates.
+    * Approximate: recall measured against bruteForceTopK in tests.
+    */
+  def hyperplaneLshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                        k: Int, nBits: Int = 16, bands: Int = 4,
+                        corpusId: String = "vec_id", corpusVec: String = "embedding",
+                        queryId: String = "q_id", queryVec: String = "q_vec",
+                        seed: Long = 42, dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 64)
+    val bandBits = nBits / bands
+    val planes = hyperplanes(nBits, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, bc.value))
+    val bandKey = udf((sig: Long, band: Int) =>
+      (band.toLong << 32) | ((sig >>> (band * bandBits)) & ((1L << bandBits) - 1)))
+
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.withColumn("sig", sigUdf(col(vec)))
+        .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+        .withColumn("bucket", bandKey(col("sig"), col("band")))
+
+    val c = banded(corpus, corpusId, corpusVec)
+      .select(col("bucket"), col(corpusId), col(corpusVec))
+    val q = banded(queries, queryId, queryVec)
+      .select(col("bucket"), col(queryId), col(queryVec))
+
+    val candidates = q.join(c, "bucket")
+      .filter(col(corpusId) =!= col(queryId))
+      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .distinct()
+      .withColumn("cosine", Dedup.cosineCol(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for web-scale training-data pipelines: token counting,
+  * quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is built from Spark builtin column functions
+  * (codegen'd, no UDFs), so the operators run inside whole-stage codegen
+  * and push down column pruning to the scan. Each has an exact SQL mirror
+  * for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace token count: split on single space (empty tokens kept —
+    * identical semantics to the oracle's string_split).
+    */
+  def tokenCountWhitespace(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      length(text).cast("double")
+
+  /** Common-English stopwords used by the quality heuristics. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Count of stopword occurrences among whitespace tokens. */
+  def stopwordHits(textCol: String): Column = {
+    val inSet = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+    expr(s"aggregate(transform(split($textCol, ' '), x -> CASE WHEN $inSet THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+  }
+
+  /** Composite quality score in [0, ~1]: length capped + stopword signal -
+    * punctuation penalty. Mirrors the oracle formula exactly.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCountWhitespace(t).cast("double")
+    val stopHits = stopwordHits(textCol).cast("double")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stopHits / nTok)
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("quality",
+        least(nTok / lit(64.0), lit(1.0)) * lit(0.5)
+          + least(col("stop_ratio") * lit(4.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(col("punct_ratio") * lit(10.0), lit(1.0))) * lit(0.2))
+  }
+
+  /** Marker words per language for the n-gram/marker language-ID
+    * heuristic. Deterministic argmax with fixed precedence order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "y", "los", "es", "una", "por", "para"),
+    "pt" -> Seq("o", "a", "e", "os", "um", "uma", "para", "com"))
+
+  /** Language-ID: argmax of marker-word hit counts; ties resolved by the
+    * fixed language order above; no hits at all -> "und".
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    var out = df
+    for ((lang, words) <- langMarkers) {
+      val inSet = words.map(w => s"x = '$w'").mkString(" OR ")
+      out = out.withColumn(s"hits_$lang",
+        expr(s"aggregate(transform(split($textCol, ' '), x -> CASE WHEN $inSet THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+    }
+    // Pick the first language (in precedence order) whose count equals the
+    // max, provided the max is positive.
+    val maxHits = greatest(langMarkers.map(l => col(s"hits_${l._1}")): _*)
+    val pick = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (lang, _)) =>
+        when(col(s"hits_$lang") === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+    out.withColumn("pred_lang", pick)
+      .drop(langMarkers.map(l => s"hits_${l._1}"): _*)
+  }
+
+  /** Polynomial rolling-hash fingerprint over codepoints:
+    * fp = fold(0, cp -> (fp * 31 + cp) mod 1e9+7). Identical in the SQL
+    * oracle via list_reduce.
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"aggregate(transform(split($textCol, ''), c -> ascii(c)), 0L, (acc, v) -> (acc * 31 + CAST(v AS BIGINT)) % 1000000007)")
+
+  /** SQL oracle mirrors (DuckDB dialect) ------------------------------- */
+
+  def stopwordHitsSql(textExpr: String): String = {
+    val inSet = stopwords.map(w => s"w = '$w'").mkString(" OR ")
+    s"list_sum([CASE WHEN $inSet THEN 1 ELSE 0 END for w in string_split($textExpr, ' ')])"
+  }
+
+  def langIdSql(textExpr: String): String = {
+    val hitExprs = langMarkers.map { case (lang, words) =>
+      val inSet = words.map(w => s"w = '$w'").mkString(" OR ")
+      lang -> s"list_sum([CASE WHEN $inSet THEN 1 ELSE 0 END for w in string_split($textExpr, ' ')])"
+    }
+    val maxExpr = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
+    // first language in precedence order reaching the max
+    val caseChain = hitExprs.map { case (lang, e) =>
+      s"WHEN $e = $maxExpr AND $maxExpr > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $caseChain ELSE 'und' END)"
+  }
+
+  def fingerprintSql(textExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(c) AS BIGINT) for c in string_split($textExpr, '')]), (a, b) -> (a * 31 + b) % 1000000007)"
+}
