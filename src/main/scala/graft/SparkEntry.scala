@@ -74,6 +74,17 @@ object SparkEntry {
        |  FROM pages
        |)""".stripMargin
 
+  /** Annulus (ring) polygons: 200 km shell with an 80 km hole, both
+    * regular 64-gons; exercises multi-loop parity containment.
+    */
+  def cityAnnuli: Seq[(Long, graft.core.Polygon)] =
+    PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
+      val c = LatLng.toPointDegrees(lat, lng)
+      val shell = Loop.regularLoop(c, Earth.angleFromMeters(200000), 64)
+      val hole = Loop.regularLoop(c, Earth.angleFromMeters(80000), 64)
+      (i.toLong, graft.core.Polygon.fromLoops(Seq(shell, hole)))
+    }
+
   /** City-center rectangles for the rect join (3x2 degrees, no wrap). */
   def cityRects: Seq[(Long, Double, Double, Double, Double)] =
     PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
@@ -165,6 +176,30 @@ object SparkEntry {
         .agg(min("doc_id").as("canonical_id"), count("*").as("dup_count"))
         .filter(col("dup_count") >= 1)
         .select(col("canonical_id"), col("dup_count"))
+    }),
+
+    // PIP against polygons WITH HOLES: annulus per city (shell 200 km,
+    // hole 80 km) via parity containment.
+    "q_pip_annulus" -> ((s, dir) => {
+      SpatialJoin.pipJoinPolygons(s, pages(s, dir), cityAnnuli)
+        .select(col("url"), col("poly_id"))
+    }),
+
+    // Polyline x polygon crossing join: city-pair trajectories vs city
+    // polygons (rows-only; exact crossing semantics tested in
+    // GeomOpsSpec/CrossingSpec).
+    "q_crossing" -> ((s, dir) => {
+      val cities = PagesSource.cities
+      val lines = (for {
+        i <- cities.indices
+        j <- cities.indices if i < j
+      } yield {
+        val a = cities(i); val b = cities(j)
+        ((i.toLong * 100 + j),
+          graft.core.Polyline.fromLatLngsDegrees(Seq(a, b)))
+      }).toSeq
+      graft.ops.CrossingJoin.polylinePolygonJoin(s, lines, cityPolygons)
+        .orderBy("line_id", "poly_id")
     }),
 
     // Text analysis: token counts (whitespace + BPE-ish regex),
@@ -315,6 +350,15 @@ object SparkEntry {
              |     + pow(sin(0.5*(radians(lng)-radians($ln))),2)
              |       *cos(radians($la))*cos(radians(lat)))))
              | ) <= ${100000.0 / Earth.RadiusMeters}""".stripMargin
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
+
+      "q_pip_annulus" -> {
+        val branches = cityAnnuli.map { case (id, poly) =>
+          val shellSql = convexPipSql(poly.loops(0))
+          val holeSql = convexPipSql(poly.loops(1))
+          s"SELECT url, $id AS poly_id FROM pts WHERE $shellSql AND NOT $holeSql"
         }
         s"$pagesCte ${branches.mkString(" UNION ALL ")}"
       },
