@@ -230,7 +230,11 @@ object SparkEntry {
     // Exact n-gram Jaccard near-dup pairs over documents + planted
     // mutated copies (doc_id + 100000, one appended token).
     "q_ngram_jaccard" -> ((s, dir) => {
+      // all-pairs is quadratic: bound the fixture subset so larger SFs
+      // stay cheap (sf0.01 has 500 docs -> unaffected; the LSH query is
+      // the scale path)
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
       val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graftdupmarker")).as("text"))
@@ -266,6 +270,7 @@ object SparkEntry {
     // scaled by 1.02, odd by 0.98 -> cosine ~0.9996 with the original).
     "q_embed_neardup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding"))
       val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
         expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN CAST(x AS DOUBLE) * 1.02 ELSE CAST(x AS DOUBLE) * 0.98 END AS DOUBLE))")

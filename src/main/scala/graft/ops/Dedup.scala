@@ -257,11 +257,18 @@ object Dedup {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
                             vecCol: String, threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    // Precompute per-vector norms once; the quadratic pair stage then only
+    // evaluates the dot product (1 array pass per pair instead of 3).
+    val normed = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(vec, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+    val a = normed.select(col("id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = normed.select(col("id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", cosineCol(col("a_vec"), col("b_vec")))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a_vec, b_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot") / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }

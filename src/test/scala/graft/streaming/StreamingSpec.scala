@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming surface: the s2 expressions inside a streaming
+  * plan with watermarks, exercised through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming cell counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val events = input.toDF().toDF("ts", "lat", "lng")
+
+    val counts = StreamingCells.cellCountsStream(events, level = 6,
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+
+    val query = counts.writeStream
+      .format("memory")
+      .queryName("cell_counts")
+      .outputMode("append")
+      .start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+    // batch 1: events in window [00:00, 00:10) at two cities
+    input.addData(
+      (t0, 48.8566, 2.3522), (t0, 48.8570, 2.3530), (t1, 40.7128, -74.0060))
+    query.processAllAvailable()
+    // batch 2: late watermark push — events far in the future close the
+    // first window so append mode emits it
+    input.addData((java.sql.Timestamp.valueOf("2026-01-01 01:00:00"), 0.0, 0.0))
+    query.processAllAvailable()
+
+    val out = spark.sql("select * from cell_counts").collect()
+    query.stop()
+
+    // the [00:00, 00:10) windows for Paris (2 events) and NY (1) are closed
+    assert(out.length === 2)
+    val byToken = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    val parisTok = graft.core.CellId.toToken(
+      graft.core.CellId.parent(graft.core.CellId.fromLatLngDegrees(48.8566, 2.3522), 6))
+    val nyTok = graft.core.CellId.toToken(
+      graft.core.CellId.parent(graft.core.CellId.fromLatLngDegrees(40.7128, -74.0060), 6))
+    assert(byToken(parisTok) === 2)
+    assert(byToken(nyTok) === 1)
+  }
+
+  test("streaming dedup drops same-fingerprint docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val deduped = StreamingCells.streamingDedup(docs)
+    val query = deduped.writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    input.addData((t, "hello world"), (t, "hello world"), (t, "different doc"))
+    query.processAllAvailable()
+    val out = spark.sql("select text from deduped").collect().map(_.getString(0))
+    query.stop()
+    assert(out.length === 2)
+    assert(out.toSet === Set("hello world", "different doc"))
+  }
+}
