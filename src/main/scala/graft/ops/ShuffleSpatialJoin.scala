@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Shuffle-path PIP join for polygon sets too large to broadcast.
+  *
+  * The broadcast CoveringIndex path (SpatialJoin) is the default; it
+  * breaks down when |polygons| * maxCells no longer fits per-executor.
+  * This path is the SURVEY §4 "Plan B": turn the covering containment
+  * test into an equi-join at a fixed cell level.
+  *
+  *  - Polygon side: covering cells denormalized to join level k, one row
+  *    per (cell_lk, polyId, isInterior, geometry bytes) — a DataFrame
+  *    that shuffles like any dimension table; geometry travels as the
+  *    lossless Codec binary column and is decoded at most once per
+  *    (task, polygon) through a per-partition cache.
+  *  - Point side: withColumn(cell_lk = s2_parent(s2_cellid(lat,lng), k)).
+  *  - Equi-join on cell_lk (sort-merge or shuffled hash, Catalyst/AQE
+  *    picks; hot cells are AQE-splittable because the join key is the
+  *    coarse cell). Interior matches skip the refine; boundary matches
+  *    run the exact parity PIP after decoding.
+  *
+  * Level choice: coarser k = fewer polygon rows but more false-positive
+  * point-polygon pairs; finer k = bigger dimension table. chooseLevel
+  * picks the finest level whose denormalized covering stays under a row
+  * budget, mirroring the reference's adaptive brute-vs-index thresholds
+  * (loop.go:615, edge_query.go:475).
+  */
+object ShuffleSpatialJoin {
+
+  /** Pick the finest join level whose total denormalized covering size
+    * stays within maxRows.
+    */
+  def chooseLevel(coverings: Seq[CellUnion], maxRows: Long = 2000000L,
+                  minLevel: Int = 4, maxLevel: Int = 14): Int = {
+    var level = maxLevel
+    while (level > minLevel) {
+      val rows = coverings.iterator.map { cu =>
+        cu.ids.iterator.map { id =>
+          val l = CellId.level(id)
+          if (l >= level) 1L else 1L << (2 * (level - l))
+        }.sum
+      }.sum
+      if (rows <= maxRows) return level
+      level -= 1
+    }
+    minLevel
+  }
+
+  /** Build the polygon dimension DataFrame:
+    * (cell_lk long, poly_id long, is_interior boolean, geom binary).
+    */
+  def polygonDimTable(spark: SparkSession, polygons: Seq[(Long, Loop)],
+                      level: Int, maxCells: Int = 32): DataFrame = {
+    import spark.implicits._
+    val coverer = RegionCoverer(maxCells = maxCells)
+    val rows = polygons.flatMap { case (id, loop) =>
+      val covering = coverer.covering(loop)
+      val interior = coverer.interiorCovering(loop)
+      val boundary = covering.difference(interior)
+      val geom = Codec.encodeLoop(loop)
+      def atLevel(cu: CellUnion, isInterior: Boolean) =
+        cu.denormalize(level, 1).ids.map { c =>
+          val lvl = CellId.level(c) // >= level after denormalize
+          // A finer-than-k cell rolls up to its level-k parent, but the
+          // parent is NOT fully interior — force the refine in that case.
+          (CellId.parent(c, level), id, isInterior && lvl == level, geom)
+        }
+      (atLevel(interior, isInterior = true) ++ atLevel(boundary, isInterior = false))
+        .distinct
+    }
+    rows.toDF("cell_lk", "poly_id", "is_interior", "geom")
+      // a polygon may touch the same level-k cell with both interior and
+      // boundary sub-cells; keep interior=false in that case (must refine)
+      .groupBy("cell_lk", "poly_id")
+      .agg(min(col("is_interior").cast("int")).cast("boolean").as("is_interior"),
+        first(col("geom")).as("geom"))
+  }
+
+  /** The shuffle-path join itself. Returns points + poly_id. */
+  def pipJoinLarge(spark: SparkSession, points: DataFrame,
+                   polygons: Seq[(Long, Loop)],
+                   latCol: String = "lat", lngCol: String = "lng",
+                   maxDimRows: Long = 2000000L): DataFrame = {
+    val coverer = RegionCoverer(maxCells = 32)
+    val level = chooseLevel(polygons.map(p => coverer.covering(p._2)), maxDimRows)
+    val dim = polygonDimTable(spark, polygons, level)
+
+    import graft.functions.S2
+    val pts = points
+      .withColumn("cell_lk",
+        S2.parent(S2.cellId(col(latCol), col(lngCol)), lit(level)))
+
+    // Exact refine with a per-JVM decode cache (geometry decoded once per
+    // executor per polygon, not per row).
+    val refine = udf((geom: Array[Byte], polyId: Long, lat: Double, lng: Double) =>
+      ShuffleSpatialJoin.cachedLoop(polyId, geom)
+        .containsPoint(LatLng.toPointDegrees(lat, lng)))
+
+    pts.join(dim, "cell_lk")
+      .filter(col("is_interior") || refine(col("geom"), col("poly_id"),
+        col(latCol), col(lngCol)))
+      .drop("cell_lk", "is_interior", "geom")
+  }
+
+  // Executor-local decode cache (polygon geometry is immutable per id).
+  private val loopCache = new java.util.concurrent.ConcurrentHashMap[Long, Loop]()
+  def cachedLoop(id: Long, geom: Array[Byte]): Loop = {
+    var l = loopCache.get(id)
+    if (l == null) {
+      l = Codec.decodeLoop(geom)
+      loopCache.putIfAbsent(id, l)
+    }
+    l
+  }
+}

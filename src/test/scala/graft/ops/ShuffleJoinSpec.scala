@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shuffle-path PIP join must produce exactly the broadcast path's
+  * rows (the two physical strategies share logical semantics).
+  */
+class ShuffleJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("shuffle-join-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("shuffle path equals broadcast path row-for-row") {
+    val pages = graft.sources.PagesSource.withLatLng(
+      spark.read.parquet(
+        graft.sources.PagesSource.pagesParquet(spark, "/root/testdata/sf0.001")))
+    val polys = graft.SparkEntry.cityPolygons
+
+    val broadcastRows = SpatialJoin.pipJoin(spark, pages, polys)
+      .select("url", "poly_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val shuffleRows = ShuffleSpatialJoin.pipJoinLarge(spark, pages, polys)
+      .select("url", "poly_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(broadcastRows.nonEmpty)
+    assert(shuffleRows === broadcastRows)
+  }
+
+  test("level choice shrinks with tighter row budgets") {
+    val coverer = graft.core.RegionCoverer(maxCells = 32)
+    val covs = graft.SparkEntry.cityPolygons.map(p => coverer.covering(p._2))
+    val fine = ShuffleSpatialJoin.chooseLevel(covs, maxRows = 10000000L)
+    val coarse = ShuffleSpatialJoin.chooseLevel(covs, maxRows = 2000L)
+    assert(fine >= coarse)
+    assert(coarse >= 4 && fine <= 14)
+  }
+
+  test("dim table flags only truly-interior level-k cells as interior") {
+    val polys = graft.SparkEntry.cityPolygons.take(2)
+    val level = 10
+    val dim = ShuffleSpatialJoin.polygonDimTable(spark, polys, level)
+    val rows = dim.collect()
+    val loops = polys.toMap
+    for (r <- rows; if r.getBoolean(2)) {
+      val cell = graft.core.Cell.fromId(r.getLong(0))
+      // every interior-flagged cell must be fully inside its polygon
+      assert(loops(r.getLong(1)).containsCell(cell),
+        s"cell ${graft.core.CellId.toToken(cell.id)} flagged interior but not contained")
+    }
+  }
+}
