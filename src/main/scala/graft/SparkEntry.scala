@@ -169,6 +169,37 @@ object SparkEntry {
       rows.toDF("city_id", "tx", "ty", "cell_token")
     }),
 
+    // Snap rounding: E2 fixed-point lat/lng snap (~1.1 km grid; near-dup
+    // geocode dedup), collision groups with multiplicity.
+    "q_snap_e2" -> ((s, dir) => {
+      pages(s, dir)
+        .withColumn("slat", round(col("lat") * 1e2) / 1e2)
+        .withColumn("slng", round(col("lng") * 1e2) / 1e2)
+        .groupBy("slat", "slng").agg(count("*").as("n"))
+        .filter(col("n") >= 2)
+        .select(col("slat"), col("slng"), col("n"))
+    }),
+
+    // Spatial aggregation: centroid of page unit vectors per zoom-8 tile
+    // (the centroid Aggregator over a raster partition key).
+    "q_tile_centroid" -> ((s, dir) => {
+      import graft.functions.S2
+      pages(s, dir)
+        .withColumn("tx", S2.tileX(col("lng"), lit(8)))
+        .withColumn("ty", S2.tileY(col("lat"), lit(8)))
+        .withColumn("px", cos(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("py", sin(radians(col("lng"))) * cos(radians(col("lat"))))
+        .withColumn("pz", sin(radians(col("lat"))))
+        .groupBy("tx", "ty")
+        .agg(count("*").as("n"), sum("px").as("sx"), sum("py").as("sy"),
+          sum("pz").as("sz"))
+        .filter(col("n") >= 5)
+        .select(col("tx"), col("ty"), col("n"),
+          round(degrees(atan2(col("sz"),
+            sqrt(col("sx") * col("sx") + col("sy") * col("sy")))), 6).as("c_lat"),
+          round(degrees(atan2(col("sy"), col("sx"))), 6).as("c_lng"))
+    }),
+
     // Exact dedup on the documents table (hash-groupBy semantics).
     "q_dedup_exact" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -464,6 +495,26 @@ object SparkEntry {
            |               e.vec_id ASC) AS BIGINT) AS rank
            |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
            |) WHERE rank <= 3""".stripMargin,
+
+      "q_snap_e2" ->
+        s"""$pagesCte
+           |SELECT round(lat * 1e2) / 1e2 AS slat,
+           |       round(lng * 1e2) / 1e2 AS slng,
+           |       count(*) AS n
+           |FROM pts GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+      "q_tile_centroid" ->
+        s"""$pagesCte
+           |SELECT tx, ty, n,
+           |  round(degrees(atan2(sz, sqrt(sx*sx + sy*sy))), 6) AS c_lat,
+           |  round(degrees(atan2(sy, sx)), 6) AS c_lng
+           |FROM (
+           |  SELECT
+           |    CAST(greatest(0, least(255, floor((lng + 180.0)/360.0*256.0))) AS BIGINT) AS tx,
+           |    CAST(greatest(0, least(255, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*256.0))) AS BIGINT) AS ty,
+           |    count(*) AS n, sum(px) AS sx, sum(py) AS sy, sum(pz) AS sz
+           |  FROM pts GROUP BY 1, 2
+           |) WHERE n >= 5""".stripMargin,
 
       "q_dedup_exact" ->
         s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
