@@ -113,4 +113,43 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(CellId.advanceWrap(c5, -total) === c5)
     assert(CellId.nextWrap(CellId.advanceWrap(c5, total - 1)) === c5)
   }
+
+  test("cell union normalization golden case (cellunion_test.go:76-103)") {
+    val cu = CellUnion.normalized(Array(
+      0x80855c0000000000L, // A: a cell over Pittsburg CA
+      0x80855d0000000000L, // B, a child of A
+      0x8085634000000000L, // first child of X, disjoint from A
+      0x808563c000000000L, // second child of X
+      0x80855dc000000000L, // a child of B
+      0x808562c000000000L, // third child of X
+      0x8085624000000000L, // fourth child of X
+      0x80855d0000000000L  // B again
+    ))
+    assert(cu.ids.toSeq === Seq(
+      0x80855c0000000000L, // A
+      0x8085630000000000L  // X (four children collapsed)
+    ))
+    // empty normalizes to empty; a face cell to itself
+    assert(CellUnion.normalized(Array.empty).isEmpty)
+    assert(CellUnion.normalized(Array(CellId.fromFace(1))).ids.toSeq ===
+      Seq(CellId.fromFace(1)))
+  }
+
+  test("cell union containment trichotomy around NYC (cellunion_test.go:143+)") {
+    val nyc = 0x89c25c0000000000L
+    val cu = CellUnion.normalized(Array(nyc))
+    // contained
+    assert(cu.containsCellId(CellId.childBegin(nyc)))
+    assert(cu.containsCellId(CellId.childBeginAtLevel(nyc, 28)))
+    // overlaps but not contained
+    for (c <- Seq(CellId.immediateParent(nyc), CellId.fromFace(CellId.face(nyc)))) {
+      assert(cu.intersectsCellId(c) && !cu.containsCellId(c))
+    }
+    // disjoint
+    val disjoint = CellId.fromFaceIJ(CellId.face(nyc), 0, 0)
+    if (!CellId.contains(nyc, disjoint) && !CellId.contains(disjoint, nyc)) {
+      assert(!cu.intersectsCellId(CellId.parent(disjoint, 10)) ||
+        CellId.intersects(nyc, CellId.parent(disjoint, 10)))
+    }
+  }
 }
