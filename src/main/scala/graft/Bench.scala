@@ -62,14 +62,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val (rps, nRows) = headlineRowsPerSec(spark, sfDir)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // A crashed query must not masquerade as a fast timing: report -1 for
+    // its wall time and list it under "errors".
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rps,"unit":"rows/sec","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rps,"unit":"rows/sec","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

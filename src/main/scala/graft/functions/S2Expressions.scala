@@ -22,7 +22,8 @@ object S2Expressions {
 
 /** s2_cellid(latDeg, lngDeg) -> level-30 leaf cell id. */
 case class S2CellIdExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = LongType
   override def nullSafeEval(lat: Any, lng: Any): Any =
     graft.core.CellId.fromLatLngDegrees(lat.asInstanceOf[Double], lng.asInstanceOf[Double])
@@ -35,7 +36,8 @@ case class S2CellIdExpr(left: Expression, right: Expression)
 
 /** s2_parent(cell, level) -> ancestor cell id at level. */
 case class S2ParentExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(id: Any, level: Any): Any =
     graft.core.CellId.parent(id.asInstanceOf[Long], level.asInstanceOf[Int])
@@ -48,7 +50,8 @@ case class S2ParentExpr(left: Expression, right: Expression)
 
 /** s2_level(cell) -> level 0..30. */
 case class S2LevelExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(id: Any): Any =
     graft.core.CellId.level(id.asInstanceOf[Long])
@@ -60,7 +63,8 @@ case class S2LevelExpr(child: Expression)
 
 /** s2_token(cell) -> compact hex token. */
 case class S2TokenExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def nullSafeEval(id: Any): Any =
     UTF8String.fromString(graft.core.CellId.toToken(id.asInstanceOf[Long]))
@@ -73,7 +77,8 @@ case class S2TokenExpr(child: Expression)
 
 /** s2_from_token(str) -> cell id (0 when invalid). */
 case class S2FromTokenExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =
     graft.core.CellId.fromToken(s.asInstanceOf[UTF8String].toString)
@@ -85,7 +90,8 @@ case class S2FromTokenExpr(child: Expression)
 
 /** s2_lat(cell) -> latitude of the cell center in degrees. */
 case class S2LatExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(id: Any): Any =
     graft.core.CellId.toLatDegrees(id.asInstanceOf[Long])
@@ -97,7 +103,8 @@ case class S2LatExpr(child: Expression)
 
 /** s2_lng(cell) -> longitude of the cell center in degrees. */
 case class S2LngExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(id: Any): Any =
     graft.core.CellId.toLngDegrees(id.asInstanceOf[Long])
@@ -109,7 +116,8 @@ case class S2LngExpr(child: Expression)
 
 /** s2_range_min(cell) / s2_range_max(cell) -> leaf range endpoints. */
 case class S2RangeMinExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(id: Any): Any =
     graft.core.CellId.rangeMin(id.asInstanceOf[Long])
@@ -120,7 +128,8 @@ case class S2RangeMinExpr(child: Expression)
 }
 
 case class S2RangeMaxExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(id: Any): Any =
     graft.core.CellId.rangeMax(id.asInstanceOf[Long])
@@ -132,7 +141,8 @@ case class S2RangeMaxExpr(child: Expression)
 
 /** s2_cell_contains(ancestor, cell) -> boolean (unsigned range test). */
 case class S2CellContainsExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.core.CellId.contains(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -145,7 +155,8 @@ case class S2CellContainsExpr(left: Expression, right: Expression)
 
 /** s2_neighbors(cell, level) -> array of all neighbor cells at level. */
 case class S2NeighborsExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(id: Any, level: Any): Any =
     new GenericArrayData(
@@ -162,7 +173,9 @@ case class S2NeighborsExpr(left: Expression, right: Expression)
   * (degrees in).
   */
 case class S2DistanceExpr(children: Seq[Expression])
-    extends Expression {
+    extends Expression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -197,7 +210,8 @@ case class S2DistanceExpr(children: Seq[Expression])
 
 /** tile_x(lngDeg, zoom) -> Web-Mercator slippy tile x index. */
 case class TileXExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(lng: Any, zoom: Any): Any =
     graft.core.WebMercator.tileX(lng.asInstanceOf[Double], zoom.asInstanceOf[Int])
@@ -210,7 +224,8 @@ case class TileXExpr(left: Expression, right: Expression)
 
 /** tile_y(latDeg, zoom) -> Web-Mercator slippy tile y index. */
 case class TileYExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(lat: Any, zoom: Any): Any =
     graft.core.WebMercator.tileY(lat.asInstanceOf[Double], zoom.asInstanceOf[Int])
@@ -255,7 +270,8 @@ object GeoParse {
 }
 
 /** geo_lat(text) -> latitude parsed from the geo: tag. */
-case class GeoLatExpr(child: Expression) extends UnaryExpression {
+case class GeoLatExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(s: Any): Any =
     GeoParse.lat(s.asInstanceOf[UTF8String])
@@ -266,7 +282,8 @@ case class GeoLatExpr(child: Expression) extends UnaryExpression {
 }
 
 /** geo_lng(text) -> longitude parsed from the geo: tag. */
-case class GeoLngExpr(child: Expression) extends UnaryExpression {
+case class GeoLngExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(s: Any): Any =
     GeoParse.lng(s.asInstanceOf[UTF8String])

@@ -50,30 +50,68 @@ object CellPartitioner {
     }
   }
 
-  /** Build an adaptive partitioning from a sampled histogram.
+  /** Build an adaptive partitioning from a two-level histogram.
     *
-    * @param df          input with a leaf cell id column
-    * @param cellCol     leaf cell column name
-    * @param coarseLevel histogram level to start from
-    * @param maxLevel    refinement floor (cells are never split deeper)
-    * @param targetRows  desired max rows per bucket (from the sample's
-    *                    scale — callers pass sampleRows * fraction)
+    * Driver safety at planet scale: a single histogram at maxLevel=12
+    * would collect one tuple per populated level-12 cell (tens of
+    * millions). Instead:
+    *
+    *  - Pass 1 (exact, tiny): coarse histogram at coarseLevel — at most
+    *    6*4^coarseLevel populated cells regardless of data size.
+    *  - Pass 2 (sampled, bounded): fine histogram at maxLevel over the
+    *    HOT coarse cells only, with the sample fraction auto-chosen so
+    *    the expected collected size stays under maxDriverCells; sampled
+    *    counts are scaled back by 1/fraction.
+    *
+    * On small inputs the auto fraction is 1.0, so counts stay exact.
+    *
+    * @param df           input with a leaf cell id column
+    * @param cellCol      leaf cell column name
+    * @param coarseLevel  histogram level to start from
+    * @param maxLevel     refinement floor (cells are never split deeper)
+    * @param targetRows   desired max rows per bucket
+    * @param sampleFraction fine-pass fraction; NaN (default) = auto from
+    *                     maxDriverCells
+    * @param maxDriverCells bound on rows collected to the driver
     */
   def plan(df: DataFrame, cellCol: String, coarseLevel: Int = 4,
            maxLevel: Int = 12, targetRows: Long = 0L,
-           sampleFraction: Double = 1.0): SpatialPartitioning = {
+           sampleFraction: Double = Double.NaN,
+           maxDriverCells: Int = 250000): SpatialPartitioning = {
     val spark = df.sparkSession
-    val sampled = if (sampleFraction >= 1.0) df else df.sample(sampleFraction, 42)
-    // one aggregation at the refinement floor: counts per maxLevel cell
-    val hist = sampled
-      .groupBy(graft.functions.S2.parent(col(cellCol), lit(maxLevel)).as("c"))
+    // Pass 1: exact coarse histogram.
+    val coarse = df
+      .groupBy(graft.functions.S2.parent(col(cellCol), lit(coarseLevel)).as("c"))
       .agg(count("*").as("n"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
 
-    val total = hist.map(_._2).sum
+    val total = coarse.map(_._2).sum
     val target = if (targetRows > 0) targetRows
       else math.max(1L, total / math.max(1, spark.sparkContext.defaultParallelism * 2))
+
+    // Pass 2: fine histogram restricted to hot coarse cells, sampled so
+    // the driver collect stays bounded even when all data is urban-hot.
+    val hotCoarse = coarse.filter(_._2 > target).map(_._1)
+    val hotRows = coarse.filter(_._2 > target).map(_._2).sum
+    val frac = if (!sampleFraction.isNaN) sampleFraction
+      else math.min(1.0, maxDriverCells.toDouble / math.max(1L, hotRows))
+    val fine: Array[(Long, Long)] = if (hotCoarse.isEmpty) Array.empty else {
+      val hotSet = hotCoarse.toSet
+      val inHot = df.filter(
+        graft.functions.S2.parent(col(cellCol), lit(coarseLevel))
+          .isInCollection(hotSet))
+      val sampled = if (frac >= 1.0) inHot else inHot.sample(frac, 42)
+      sampled
+        .groupBy(graft.functions.S2.parent(col(cellCol), lit(maxLevel)).as("c"))
+        .agg(count("*").as("n"))
+        .collect()
+        .map(r => (r.getLong(0), math.max(1L, math.round(r.getLong(1) / frac))))
+    }
+    // Combined mixed-level histogram: coarse entries for cold cells (never
+    // refined below their own count <= target), fine entries for hot ones.
+    val hotSet = hotCoarse.toSet
+    val hist = coarse.filter(c => !hotSet.contains(c._1)) ++ fine
 
     // Sort the fine histogram once; range counts via prefix sums + binary
     // search so refinement is O(cells * log n).

@@ -134,22 +134,34 @@ object Dedup {
     val banded = sigs
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("bucket", bandKeyUdf(col("sig"), col("band")))
-      .select("band", "bucket", "doc_id", "doc_text")
+      .select("band", "bucket", "doc_id")
 
-    // Pairs within a bucket (bounded): self-join per (band, bucket) would
-    // duplicate pairs found in multiple bands -> distinct at pair level.
-    val grouped = banded.groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("doc_text")))),
-        1, maxBucket).as("members"))
+    // Hot-bucket cap BEFORE any aggregation: rank bucket members and keep
+    // the first maxBucket doc ids. Only ids enter the bucket stage (texts
+    // are re-joined for verification later), and no aggregation buffer
+    // ever holds more than maxBucket entries, so a boilerplate bucket with
+    // millions of members costs one bounded window pass instead of an
+    // unbounded collect_list. The window and the groupBy share the
+    // (band, bucket) clustering, so this stays a single shuffle.
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    val grouped = banded
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= maxBucket)
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")) >= 2)
 
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
+    // Pairs within a bucket: self-join per (band, bucket) would duplicate
+    // pairs found in multiple bands -> distinct at pair level.
+    val pairUdf = udf((membersRaw: Seq[Long]) => {
+      val members = membersRaw.sorted // collect_list order is nondeterministic
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       var i = 0
       while (i < members.length) {
         var j = i + 1
         while (j < members.length) {
-          out += ((members(i).getLong(0), members(j).getLong(0)))
+          out += ((members(i), members(j)))
           j += 1
         }
         i += 1
@@ -196,9 +208,16 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxDistance, found by
     * banding the 64-bit hash into maxDistance+1 chunks (pigeonhole: any
     * pair within distance d shares at least one exact chunk).
+    *
+    * Hot chunk-keys (empty/boilerplate docs that all hash alike) would
+    * make the bucket self-join quadratic in the hottest key, so buckets
+    * are capped to the first maxBucket doc ids (same treatment as
+    * minHashLsh); members of a truncated bucket can still pair through
+    * their other maxDistance chunks.
     */
   def simHashPairs(spark: SparkSession, docs: DataFrame, idCol: String,
-                   textCol: String, maxDistance: Int = 3): DataFrame = {
+                   textCol: String, maxDistance: Int = 3,
+                   maxBucket: Int = 256): DataFrame = {
     val nChunks = maxDistance + 1
     val chunkBits = 64 / nChunks
     val shUdf = udf((text: String) => simHash(text))
@@ -206,9 +225,14 @@ object Dedup {
       .withColumn("sh", shUdf(col("doc_text")))
     val chunkUdf = udf((sh: Long, c: Int) =>
       (sh >>> (c * chunkBits)) & ((1L << chunkBits) - 1))
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("chunk", "key").orderBy("doc_id")
     val banded = hashed
       .withColumn("chunk", explode(array((0 until nChunks).map(lit): _*)))
       .withColumn("key", chunkUdf(col("sh"), col("chunk")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= maxBucket)
+      .select("chunk", "key", "doc_id", "sh")
     val a = banded.select(col("chunk"), col("key"),
       col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = banded.select(col("chunk"), col("key"),

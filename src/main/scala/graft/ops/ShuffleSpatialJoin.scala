@@ -95,23 +95,33 @@ object ShuffleSpatialJoin {
 
     // Exact refine with a per-JVM decode cache (geometry decoded once per
     // executor per polygon, not per row).
-    val refine = udf((geom: Array[Byte], polyId: Long, lat: Double, lng: Double) =>
-      ShuffleSpatialJoin.cachedLoop(polyId, geom)
+    val refine = udf((geom: Array[Byte], lat: Double, lng: Double) =>
+      ShuffleSpatialJoin.cachedLoop(geom)
         .containsPoint(LatLng.toPointDegrees(lat, lng)))
 
     pts.join(dim, "cell_lk")
-      .filter(col("is_interior") || refine(col("geom"), col("poly_id"),
+      .filter(col("is_interior") || refine(col("geom"),
         col(latCol), col(lngCol)))
       .drop("cell_lk", "is_interior", "geom")
   }
 
-  // Executor-local decode cache (polygon geometry is immutable per id).
-  private val loopCache = new java.util.concurrent.ConcurrentHashMap[Long, Loop]()
-  def cachedLoop(id: Long, geom: Array[Byte]): Loop = {
-    var l = loopCache.get(id)
+  // Executor-local decode cache keyed by the geometry BYTES, not the
+  // polygon id: two joins in one executor JVM may reuse ids with different
+  // geometry, and an id-keyed cache would silently return the first job's
+  // polygon. ByteBuffer keys compare content; the LRU bound keeps
+  // long-lived executors from accumulating stale geometries.
+  private val loopCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, Loop](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, Loop]): Boolean =
+        size() > 1024
+    })
+  def cachedLoop(geom: Array[Byte]): Loop = {
+    val key = java.nio.ByteBuffer.wrap(geom)
+    var l = loopCache.get(key)
     if (l == null) {
       l = Codec.decodeLoop(geom)
-      loopCache.putIfAbsent(id, l)
+      loopCache.put(key, l)
     }
     l
   }

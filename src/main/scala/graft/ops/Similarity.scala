@@ -78,14 +78,20 @@ object Similarity {
         .withColumn("bucket", bandKey(col("sig"), col("band")))
 
     val c = banded(corpus, corpusId, corpusVec)
-      .select(col("bucket"), col(corpusId), col(corpusVec))
+      .select(col("bucket"), col(corpusId))
     val q = banded(queries, queryId, queryVec)
-      .select(col("bucket"), col(queryId), col(queryVec))
+      .select(col("bucket"), col(queryId))
 
-    val candidates = q.join(c, "bucket")
+    // Dedup multi-band candidate pairs on ids only (a narrow shuffle),
+    // then join the embedding vectors back: a distinct over rows carrying
+    // two full vectors would shuffle every candidate's embeddings twice.
+    val candPairs = q.join(c, "bucket")
       .filter(col(corpusId) =!= col(queryId))
-      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .select(col(queryId), col(corpusId))
       .distinct()
+    val candidates = candPairs
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
       .withColumn("cosine", Dedup.cosineCol(col(queryVec), col(corpusVec)))
     val w = Window.partitionBy(queryId)
       .orderBy(col("cosine").desc, col(corpusId).asc)

@@ -33,11 +33,13 @@ object StreamingCells {
   }
 
   /** Streaming near-dup screen: incremental exact-hash dedup of a text
-    * stream keyed by fingerprint (drop duplicates within the watermark).
+    * stream keyed by fingerprint. dropDuplicatesWithinWatermark lets the
+    * watermark evict dedup state (a bare dropDuplicates("fp") would keep
+    * every fingerprint forever on a long-running stream).
     */
   def streamingDedup(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("fp", graft.ops.TextOps.fingerprint("text"))
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -92,6 +92,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ANN recall $recall collapsed")
   }
 
+  test("hot bucket: 10k identical docs complete with bounded pair output") {
+    // The 100 TB failure mode: boilerplate text puts millions of docs in
+    // one LSH bucket. The window cap bounds every aggregation buffer and
+    // the pair fan-out to maxBucket, so this completes instead of OOMing.
+    import spark.implicits._
+    val hot = (0L until 10000L)
+      .map(i => (i, "the same boilerplate text repeated on every page of the site"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashLsh(spark, hot, "doc_id", "text",
+      threshold = 0.6, maxBucket = 64)
+    assert(mh.count() === 64L * 63 / 2, "pairs capped to first 64 bucket members")
+    // document text must never enter the bucket aggregation
+    val aggLines = mh.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("collect_list")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("doc_text")),
+      "bucket aggregation must collect ids only")
+    val sh = Dedup.simHashPairs(spark, hot, "doc_id", "text",
+      maxDistance = 3, maxBucket = 64)
+    assert(sh.count() === 64L * 63 / 2, "simhash bucket join capped")
+  }
+
   test("ngram jaccard matches hand-computed value") {
     assert(Dedup.ngramJaccard("a b c d", "a b c d", 3) === 1.0)
     // "a b c d e" 3-grams: {abc, bcd, cde}; "a b c d x": {abc, bcd, cdx}

@@ -42,6 +42,30 @@ class ShuffleJoinSpec extends AnyFunSuite {
     assert(coarse >= 4 && fine <= 14)
   }
 
+  test("sequential joins reusing poly ids with different geometry stay correct") {
+    // Regression: an id-keyed executor decode cache would return job 1's
+    // polygon for job 2's id 0. The cache keys on geometry bytes.
+    val pages = graft.sources.PagesSource.withLatLng(
+      spark.read.parquet(
+        graft.sources.PagesSource.pagesParquet(spark, "/root/testdata/sf0.001")))
+    val polysA = graft.SparkEntry.cityPolygons.take(2)
+    // same ids (0, 1), different geometry: swap the two loops
+    val polysB = Seq((0L, polysA(1)._2), (1L, polysA(0)._2))
+
+    def run(polys: Seq[(Long, graft.core.Loop)]) =
+      ShuffleSpatialJoin.pipJoinLarge(spark, pages, polys)
+        .select("url", "poly_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val a = run(polysA)
+    val b = run(polysB)
+    assert(a.nonEmpty)
+    // identical pairs modulo the id swap, NOT identical pairs
+    val bSwappedBack = b.map { case (u, id) => (u, 1L - id) }
+    assert(bSwappedBack === a)
+    assert(b !== a)
+  }
+
   test("dim table flags only truly-interior level-k cells as interior") {
     val polys = graft.SparkEntry.cityPolygons.take(2)
     val level = 10
