@@ -13,6 +13,17 @@ package graft.core
 final class Loop private (val vertices: Array[Vec3]) extends S2Region {
   import EdgeCrossings._
 
+  /** Nesting depth within a polygon (0 = shell, odd = hole); assigned by
+    * Polygon construction, like the reference's Loop.depth
+    * (loop.go:88-95).
+    */
+  var depth: Int = 0
+
+  def isHole: Boolean = (depth & 1) == 1
+
+  /** +1 for shells, -1 for holes (loop.go:uses in area sums). */
+  def sign: Int = if (isHole) -1 else 1
+
   /** Whether the fixed origin point is inside; part of the wire format. */
   val originInside: Boolean = computeOriginInside()
 
@@ -76,9 +87,144 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
   def bruteForceContainsPoint(p: Vec3): Boolean =
     bruteForceContains(p, originInside)
 
+  /** Cell-bucketed edge index, built lazily for loops above the
+    * reference's brute-force threshold (loop.go:615). None for small
+    * loops where the O(V) scan is cheaper than an index probe.
+    */
+  @transient private lazy val builtIndex: Option[LoopEdgeIndex] =
+    if (!isEmptyOrFull && vertices.length > LoopEdgeIndex.MaxBruteForceVertices)
+      Some(LoopEdgeIndex.build(this))
+    else None
+
+  /** Exposed for tests/benchmarks: the index if this loop carries one. */
+  def edgeIndexOption: Option[LoopEdgeIndex] = builtIndex
+
+  /** Conservative candidate edge ids for a query segment (all edges for
+    * small loops) — the pruning source for loop-relation crossing scans.
+    */
+  private[core] def candidateEdges(a: Vec3, b: Vec3): Array[Int] =
+    builtIndex match {
+      case Some(idx) => idx.candidateEdges(a, b)
+      case None => Array.tabulate(vertices.length)(identity)
+    }
+
   def containsPoint(p: Vec3): Boolean = {
     if (!bound.containsPoint(p)) return false
-    bruteForceContainsPoint(p)
+    builtIndex match {
+      case Some(idx) => idx.containsPoint(p)
+      case None => bruteForceContainsPoint(p)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Loop x Loop relations (loop.go:272-369, 436-469, 951-980, 1822-1852)
+
+  /** Whether this loop's region is a superset of the other loop's region
+    * (loop.go:274-325): no boundary crossings, compatible wedges at
+    * shared vertices, and the point-containment conditions that separate
+    * nesting from the union-is-the-whole-sphere case.
+    */
+  def contains(o: Loop): Boolean = {
+    if (!subregionBound.containsRect(o.bound)) return false
+    if (isEmptyOrFull || o.isEmptyOrFull) return isFull || o.isEmpty
+    val rel = new LoopRelations.ContainsRelation
+    if (LoopRelations.hasCrossingRelation(this, o, rel)) return false
+    if (rel.foundSharedVertex) return true
+    if (!containsPoint(o.vertex(0))) return false
+    // (A union B) == sphere means A contains B's boundary but not B.
+    if ((o.subregionBound.containsRect(bound) || o.bound.union(bound).isFull) &&
+        o.containsPoint(vertex(0))) return false
+    true
+  }
+
+  /** Whether the two loop regions intersect (loop.go:330-369). */
+  def intersects(o: Loop): Boolean = {
+    if (!bound.intersects(o.bound)) return false
+    val rel = new LoopRelations.IntersectsRelation
+    if (LoopRelations.hasCrossingRelation(this, o, rel)) return true
+    if (rel.foundSharedVertex) return false
+    // No crossings / shared vertices: loops intersect only via nesting or
+    // mutual boundary containment; neither loop is empty here.
+    if (subregionBound.containsRect(o.bound) || bound.union(o.bound).isFull) {
+      if (containsPoint(o.vertex(0))) return true
+    }
+    if (o.subregionBound.containsRect(bound) && o.containsPoint(vertex(0)))
+      return true
+    false
+  }
+
+  /** +1 if this loop contains the other's boundary, -1 if it excludes it,
+    * 0 if the boundaries cross; shared edges resolved by the other loop's
+    * hole-ness (loop.go:436-469).
+    */
+  def compareBoundary(o: Loop): Int = {
+    if (!bound.intersects(o.bound)) return -1
+    if (isFull) return 1
+    if (o.isFull) return -1
+    val rel = new LoopRelations.CompareBoundaryRelation(o.isHole)
+    if (LoopRelations.hasCrossingRelation(this, o, rel)) return 0
+    if (rel.foundSharedVertex) return if (rel.containsEdge) 1 else -1
+    if (containsPoint(o.vertex(0))) 1 else -1
+  }
+
+  /** Whether the two loops have the same boundary (same vertices in the
+    * same cyclic order); empty and full differ (loop.go:394-425).
+    */
+  def boundaryEqual(o: Loop): Boolean = {
+    if (vertices.length != o.vertices.length) return false
+    if (isEmptyOrFull) return isEmpty == o.isEmpty
+    var offset = 0
+    while (offset < vertices.length) {
+      if (vertices(offset) == o.vertex(0)) {
+        var i = 0
+        while (i < vertices.length) {
+          if (vertex(i + offset) != o.vertex(i)) return false
+          i += 1
+        }
+        return true
+      }
+      offset += 1
+    }
+    false
+  }
+
+  /** Index of a vertex equal to p in [1, numVertices], or -1
+    * (loop.go:917-945).
+    */
+  private[core] def findVertex(p: Vec3): Int = {
+    var i = 1
+    while (i <= vertices.length) {
+      if (vertex(i) == p) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Containment given the precondition that the loops share no edges and
+    * either nest or are disjoint (loop.go:951-980).
+    */
+  def containsNested(o: Loop): Boolean = {
+    if (!subregionBound.containsRect(o.bound)) return false
+    if (isEmptyOrFull || o.numVertices < 2) return isFull || o.isEmpty
+    val m = findVertex(o.vertex(1))
+    if (m < 0) return containsPoint(o.vertex(1))
+    WedgeRelations.wedgeContains(vertex(m - 1), vertex(m), vertex(m + 1),
+      o.vertex(0), o.vertex(2))
+  }
+
+  /** Whether this loop contains the other's boundary, given no boundary
+    * crossings; reverseOther flips the other's direction for shared-edge
+    * resolution (loop.go:1822-1852).
+    */
+  private[core] def containsNonCrossingBoundary(o: Loop,
+                                                reverseOther: Boolean): Boolean = {
+    if (!bound.intersects(o.bound)) return false
+    if (isFull) return true
+    if (o.isFull) return false
+    val m = findVertex(o.vertex(0))
+    if (m < 0) return containsPoint(o.vertex(0))
+    WedgeRelations.wedgeContainsSemiwedge(vertex(m - 1), vertex(m),
+      vertex(m + 1), o.vertex(1), reverseOther)
   }
 
   /** Whether the loop boundary passes through the cell: any loop edge
@@ -136,8 +282,12 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
   /** Signed turning angle sum; > 0 for CCW "normalized" loops. */
   def isNormalized: Boolean = area <= 2 * math.Pi + 1e-10
 
-  /** Invert the loop in place semantics: returns the complement loop. */
-  def inverted: Loop = new Loop(vertices.reverse)
+  /** Invert the loop in place semantics: returns the complement loop;
+    * empty and full swap their sentinel vertices (loop.go:856-880).
+    */
+  def inverted: Loop =
+    if (isEmptyOrFull) { if (isFull) Loop.empty else Loop.full }
+    else new Loop(vertices.reverse)
 
   def normalized: Loop = if (isNormalized) this else inverted
 

@@ -9,6 +9,30 @@ package graft.core
   */
 final class Polygon(val loops: Array[Loop]) extends S2Region {
 
+  // Assign nesting depths (the reference's initNested loop hierarchy,
+  // polygon.go:282-375, computed here by containment counting: loops in a
+  // valid polygon do not cross, so depth(i) = number of other loops
+  // containing a vertex of i). Writes Loop.depth like the reference.
+  locally {
+    var i = 0
+    while (i < loops.length) {
+      val v0 = loops(i).vertices(0)
+      var d = 0
+      var j = 0
+      while (j < loops.length) {
+        if (j != i && loops(j).bruteForceContainsPoint(v0)) d += 1
+        j += 1
+      }
+      loops(i).depth = d
+      i += 1
+    }
+  }
+
+  val hasHoles: Boolean = loops.exists(_.isHole)
+
+  def isEmpty: Boolean = loops.isEmpty || loops.forall(_.isEmpty)
+  def isFull: Boolean = loops.length == 1 && loops(0).isFull
+
   val bound: SphereRect = {
     // Union of the bounds of the loops at depth 0 would need nesting;
     // parity semantics make the union of all loop bounds a safe bound
@@ -17,6 +41,8 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
     loops.foreach(l => b = b.union(l.bound))
     b
   }
+
+  val subregionBound: SphereRect = RectBounder.expandForSubregions(bound)
 
   def numLoops: Int = loops.length
 
@@ -46,6 +72,84 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
     }
     math.max(0, total)
   }
+
+  // ------------------------------------------------------------------
+  // Polygon x Polygon relations (polygon.go:822-1003)
+
+  /** Whether every point of `o` is contained by this polygon
+    * (polygon.go:826-865).
+    */
+  def contains(o: Polygon): Boolean = {
+    if (loops.length == 1 && o.loops.length == 1)
+      return loops(0).contains(o.loops(0))
+    if (!subregionBound.containsRect(o.bound)) {
+      // A can still contain B when the union of the bounds wraps all
+      // longitudes (two shells with a gap vs one going the other way).
+      if (!bound.lng.union(o.bound.lng).isFull) return false
+    }
+    if (!hasHoles && !o.hasHoles)
+      return o.loops.forall(anyLoopContains)
+    containsBoundary(o) && o.excludesNonCrossingComplementShells(this)
+  }
+
+  /** Whether some point is contained by both polygons
+    * (polygon.go:867-892).
+    */
+  def intersects(o: Polygon): Boolean = {
+    if (loops.length == 1 && o.loops.length == 1)
+      return loops(0).intersects(o.loops(0))
+    if (!bound.intersects(o.bound)) return false
+    if (!hasHoles && !o.hasHoles)
+      return o.loops.exists(anyLoopIntersects)
+    !excludesBoundary(o) || !o.excludesNonCrossingShells(this)
+  }
+
+  /** +1 if this polygon contains the boundary of loop o, -1 if it
+    * excludes it, 0 on crossing (polygon.go:894-903).
+    */
+  def compareBoundary(o: Loop): Int = {
+    var result = -1
+    var i = 0
+    while (i < loops.length && result != 0) {
+      // sign flips each time o is contained by a loop of this polygon
+      result *= -loops(i).compareBoundary(o)
+      i += 1
+    }
+    result
+  }
+
+  private def containsBoundary(o: Polygon): Boolean =
+    o.loops.forall(l => compareBoundary(l) > 0)
+
+  private def excludesBoundary(o: Polygon): Boolean =
+    o.loops.forall(l => compareBoundary(l) < 0)
+
+  private def containsNonCrossingBoundary(o: Loop, reverse: Boolean): Boolean = {
+    var inside = false
+    loops.foreach(l => inside ^= l.containsNonCrossingBoundary(o, reverse))
+    inside
+  }
+
+  /** Given boundaries of this do not cross loops of o: does this exclude
+    * all shell boundaries of o (polygon.go:938-951)?
+    */
+  private def excludesNonCrossingShells(o: Polygon): Boolean =
+    o.loops.forall(l => l.isHole || !containsNonCrossingBoundary(l, reverse = false))
+
+  /** Same for the complement of o: shells of ~o are o's loop 0 inverted
+    * plus o's holes (polygon.go:953-981).
+    */
+  private def excludesNonCrossingComplementShells(o: Polygon): Boolean = {
+    if (o.isEmpty) return !isFull
+    if (o.isFull) return true
+    o.loops.zipWithIndex.forall { case (l, j) =>
+      if (j > 0 && !l.isHole) true
+      else !containsNonCrossingBoundary(l, reverse = j == 0)
+    }
+  }
+
+  private def anyLoopContains(o: Loop): Boolean = loops.exists(_.contains(o))
+  private def anyLoopIntersects(o: Loop): Boolean = loops.exists(_.intersects(o))
 
   def capBound: Cap = {
     if (loops.isEmpty) return Cap.empty
