@@ -85,6 +85,45 @@ object SparkEntry {
       (i.toLong, graft.core.Polygon.fromLoops(Seq(shell, hole)))
     }
 
+  /** Overlay fixture set A: convex regular 24-gons around the cities with
+    * growing radii. Convexity makes every pairwise relation expressible
+    * in SQL from baked vertex/edge-normal literals; radii and offsets are
+    * chosen so every pair has km-scale margins from the contain/overlap/
+    * disjoint decision boundaries.
+    */
+  def overlayPolysA: Seq[(Long, graft.core.Polygon)] =
+    PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
+      (i.toLong, graft.core.Polygon.fromLoops(Seq(
+        Loop.regularLoop(LatLng.toPointDegrees(lat, lng),
+          Earth.angleFromMeters((50.0 + 30.0 * i) * 1000), 24))))
+    }
+
+  /** Overlay fixture set B: small 24-gons offset north of each city
+    * (contained by the bigger A polys, overlapping the smallest) plus
+    * four disjoint polygons shifted 5 degrees east.
+    */
+  def overlayPolysB: Seq[(Long, graft.core.Polygon)] = {
+    val near = PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
+      (i.toLong, graft.core.Polygon.fromLoops(Seq(
+        Loop.regularLoop(LatLng.toPointDegrees(lat + 0.3, lng),
+          Earth.angleFromMeters(30000), 24))))
+    }
+    val far = (0 until 4).map { i =>
+      val (lat, lng) = PagesSource.cities(i)
+      ((8 + i).toLong, graft.core.Polygon.fromLoops(Seq(
+        Loop.regularLoop(LatLng.toPointDegrees(lat, lng + 5.0),
+          Earth.angleFromMeters(60000), 24))))
+    }
+    near ++ far
+  }
+
+  /** Large-polygon PIP fixture: a 4096-vertex regular loop (300 km around
+    * New York) — forces the indexed refine path (>32 vertices).
+    */
+  def coastLoop: Loop = Loop.regularLoop(
+    LatLng.toPointDegrees(40.7128, -74.0060),
+    Earth.angleFromMeters(300000), 4096)
+
   /** City-center rectangles for the rect join (3x2 degrees, no wrap). */
   def cityRects: Seq[(Long, Double, Double, Double, Double)] =
     PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
@@ -233,6 +272,21 @@ object SparkEntry {
         .orderBy("line_id", "poly_id")
     }),
 
+    // Polygon x polygon overlay join: covering-cell candidate pairing +
+    // exact Loop/Polygon Contains/Intersects refine.
+    "q_poly_overlap" -> ((s, dir) => {
+      graft.ops.OverlayJoin.polygonOverlapJoin(s, overlayPolysA, overlayPolysB)
+        .select(col("a_id"), col("b_id"),
+          col("a_contains_b"), col("b_contains_a"))
+    }),
+
+    // Large-polygon PIP: 4096-vertex loop through the cell-bucketed edge
+    // index (sublinear boundary refine).
+    "q_pip_coast" -> ((s, dir) => {
+      SpatialJoin.pipJoin(s, pages(s, dir), Seq((0L, coastLoop)), maxCells = 64)
+        .select(col("url"), col("poly_id"))
+    }),
+
     // Text analysis: token counts (whitespace + BPE-ish regex),
     // punctuation/stopword ratios, composite quality score.
     "q_text_stats" -> ((s, dir) => {
@@ -355,9 +409,107 @@ object SparkEntry {
     })
   )
 
+  /** VALUES rows "(poly, idx, x, y, z)" for single-loop polygon sets. */
+  private def polyVertexValues(polys: Seq[(Long, graft.core.Polygon)]): String =
+    polys.flatMap { case (id, p) =>
+      val loop = p.loops(0)
+      (0 until loop.numVertices).map { k =>
+        val v = loop.vertex(k)
+        f"($id, $k, ${v.x}%.17e, ${v.y}%.17e, ${v.z}%.17e)"
+      }
+    }.mkString(", ")
+
+  /** Oracle for the polygon-overlap join over convex fixtures: edge
+    * normals from the baked vertices; containment = all vertices strictly
+    * inside; intersection = edge straddle crossing or vertex containment
+    * either way (exact for convex polygons with no shared boundaries).
+    */
+  private def polyOverlapSql: String = {
+    val nA = 24
+    s"""WITH va(poly, idx, x, y, z) AS (VALUES ${polyVertexValues(overlayPolysA)}),
+       | vb(poly, idx, x, y, z) AS (VALUES ${polyVertexValues(overlayPolysB)}),
+       | na AS (SELECT a.poly, a.idx,
+       |   a.y*b.z - a.z*b.y AS nx, a.z*b.x - a.x*b.z AS ny, a.x*b.y - a.y*b.x AS nz,
+       |   a.x AS ax, a.y AS ay, a.z AS az, b.x AS bx, b.y AS byy, b.z AS bz
+       |   FROM va a JOIN va b ON a.poly = b.poly AND b.idx = (a.idx + 1) % $nA),
+       | nb AS (SELECT a.poly, a.idx,
+       |   a.y*b.z - a.z*b.y AS nx, a.z*b.x - a.x*b.z AS ny, a.x*b.y - a.y*b.x AS nz,
+       |   a.x AS ax, a.y AS ay, a.z AS az, b.x AS bx, b.y AS byy, b.z AS bz
+       |   FROM vb a JOIN vb b ON a.poly = b.poly AND b.idx = (a.idx + 1) % $nA),
+       | pairs AS (SELECT DISTINCT a.poly AS a_id, b.poly AS b_id FROM va a, vb b),
+       | acb AS (SELECT p.a_id, p.b_id FROM pairs p WHERE NOT EXISTS (
+       |   SELECT 1 FROM vb v, na e WHERE v.poly = p.b_id AND e.poly = p.a_id
+       |     AND e.nx*v.x + e.ny*v.y + e.nz*v.z <= 0)),
+       | bca AS (SELECT p.a_id, p.b_id FROM pairs p WHERE NOT EXISTS (
+       |   SELECT 1 FROM va v, nb e WHERE v.poly = p.a_id AND e.poly = p.b_id
+       |     AND e.nx*v.x + e.ny*v.y + e.nz*v.z <= 0)),
+       | vtx AS (
+       |   SELECT p.a_id, p.b_id FROM pairs p WHERE EXISTS (
+       |     SELECT 1 FROM vb v WHERE v.poly = p.b_id AND NOT EXISTS (
+       |       SELECT 1 FROM na e WHERE e.poly = p.a_id
+       |         AND e.nx*v.x + e.ny*v.y + e.nz*v.z <= 0))
+       |   UNION
+       |   SELECT p.a_id, p.b_id FROM pairs p WHERE EXISTS (
+       |     SELECT 1 FROM va v WHERE v.poly = p.a_id AND NOT EXISTS (
+       |       SELECT 1 FROM nb e WHERE e.poly = p.b_id
+       |         AND e.nx*v.x + e.ny*v.y + e.nz*v.z <= 0))),
+       | crossing AS (SELECT p.a_id, p.b_id FROM pairs p WHERE EXISTS (
+       |   SELECT 1 FROM na x, nb y WHERE x.poly = p.a_id AND y.poly = p.b_id
+       |     AND (x.nx*y.ax + x.ny*y.ay + x.nz*y.az)
+       |       * (x.nx*y.bx + x.ny*y.byy + x.nz*y.bz) < 0
+       |     AND (y.nx*x.ax + y.ny*x.ay + y.nz*x.az)
+       |       * (y.nx*x.bx + y.ny*x.byy + y.nz*x.bz) < 0)),
+       | inter AS (SELECT * FROM crossing UNION SELECT * FROM vtx)
+       |SELECT i.a_id, i.b_id,
+       |  (c1.a_id IS NOT NULL) AS a_contains_b,
+       |  (c2.a_id IS NOT NULL) AS b_contains_a
+       |FROM inter i
+       |LEFT JOIN acb c1 ON c1.a_id = i.a_id AND c1.b_id = i.b_id
+       |LEFT JOIN bca c2 ON c2.a_id = i.a_id AND c2.b_id = i.b_id""".stripMargin
+  }
+
+  /** Oracle for the 4096-gon PIP: vertices regenerated in SQL with the
+    * same frame/radius literals and arithmetic shape as Loop.regularLoop,
+    * then the convex all-edge-normals test behind a conservative bbox
+    * prefilter.
+    */
+  private def pipCoastSql: String = {
+    val c = LatLng.toPointDegrees(40.7128, -74.0060)
+    val z = c
+    val y = z.ortho
+    val x = y.cross(z)
+    val r = Earth.angleFromMeters(300000)
+    val sinR = math.sin(r)
+    val cosR = math.cos(r)
+    val step = 2 * math.Pi / 4096
+    val b = coastLoop.bound
+    val latLo = b.lat.lo * LatLng.RadToDeg - 0.05
+    val latHi = b.lat.hi * LatLng.RadToDeg + 0.05
+    val lngLo = b.lng.lo * LatLng.RadToDeg - 0.05
+    val lngHi = b.lng.hi * LatLng.RadToDeg + 0.05
+    f"""$pagesCte, idx AS (SELECT unnest(range(4096)) AS i),
+       | w AS (SELECT i,
+       |   ${x.x}%.17e*($sinR%.17e*cos(i*$step%.17e)) + ${y.x}%.17e*($sinR%.17e*sin(i*$step%.17e)) + ${z.x}%.17e*$cosR%.17e AS wx,
+       |   ${x.y}%.17e*($sinR%.17e*cos(i*$step%.17e)) + ${y.y}%.17e*($sinR%.17e*sin(i*$step%.17e)) + ${z.y}%.17e*$cosR%.17e AS wy,
+       |   ${x.z}%.17e*($sinR%.17e*cos(i*$step%.17e)) + ${y.z}%.17e*($sinR%.17e*sin(i*$step%.17e)) + ${z.z}%.17e*$cosR%.17e AS wz
+       |   FROM idx),
+       | v AS (SELECT i, wx*(1.0/sqrt(wx*wx + wy*wy + wz*wz)) AS vx,
+       |   wy*(1.0/sqrt(wx*wx + wy*wy + wz*wz)) AS vy,
+       |   wz*(1.0/sqrt(wx*wx + wy*wy + wz*wz)) AS vz FROM w),
+       | e AS (SELECT a.i, a.vy*b.vz - a.vz*b.vy AS nx,
+       |   a.vz*b.vx - a.vx*b.vz AS ny, a.vx*b.vy - a.vy*b.vx AS nz
+       |   FROM v a JOIN v b ON b.i = (a.i + 1) %% 4096)
+       |SELECT url, 0 AS poly_id FROM pts p
+       |WHERE p.lat BETWEEN $latLo AND $latHi AND p.lng BETWEEN $lngLo AND $lngHi
+       |  AND NOT EXISTS (SELECT 1 FROM e
+       |    WHERE e.nx*p.px + e.ny*p.py + e.nz*p.pz <= 0)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val polys = cityPolygons
     Map(
+      "q_poly_overlap" -> polyOverlapSql,
+      "q_pip_coast" -> pipCoastSql,
       "q_pip_city" -> {
         val branches = polys.map { case (id, loop) =>
           s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"

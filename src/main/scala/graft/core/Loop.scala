@@ -232,15 +232,22 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
     */
   private def boundaryIntersectsCell(cell: Cell): Boolean = {
     if (isEmptyOrFull) return false
+    // Candidate pruning via the edge index for large loops: only edges
+    // whose leaves overlap the cell's rect bound can touch the cell.
+    val cand: Array[Int] = builtIndex match {
+      case Some(idx) => idx.candidateEdgesInRect(cell.rectBound)
+      case None => Array.tabulate(vertices.length)(identity)
+    }
     var i = 0
-    while (i < vertices.length) {
-      if (cell.containsPoint(vertices(i))) return true
+    while (i < cand.length) {
+      if (cell.containsPoint(vertex(cand(i)))) return true
       i += 1
     }
     val cv = Array.tabulate(4)(cell.vertex)
     i = 0
-    while (i < vertices.length) {
-      val crosser = new EdgeCrosser(vertex(i), vertex(i + 1))
+    while (i < cand.length) {
+      val e = cand(i)
+      val crosser = new EdgeCrosser(vertex(e), vertex(e + 1))
       var k = 0
       while (k < 4) {
         if (crosser.edgeOrVertexCrossingTo(cv(k), cv((k + 1) & 3))) return true

@@ -78,7 +78,13 @@ final class LoopEdgeIndex private (loop: Loop,
     val rb = new RectBounder
     rb.addPoint(a)
     rb.addPoint(b)
-    val qBound = rb.rectBound
+    candidateEdgesInRect(rb.rectBound)
+  }
+
+  /** Sorted, distinct candidate edge ids for any query region given its
+    * conservative rect bound.
+    */
+  def candidateEdgesInRect(qBound: SphereRect): Array[Int] = {
     val seen = new java.util.BitSet(loop.numVertices)
     var i = 0
     while (i < cellIds.length) {
