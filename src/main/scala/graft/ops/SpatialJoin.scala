@@ -99,24 +99,13 @@ object SpatialJoin {
                            outCol: String, latCol: String, lngCol: String): DataFrame = {
     val index = CoveringIndex.build(entries)
     val bc = spark.sparkContext.broadcast((index, refine))
-    val matcher = udf((lat: Double, lng: Double) => {
-      val (idx, ref) = bc.value
-      val leaf = CellId.fromLatLngDegrees(lat, lng)
-      val cands = idx.candidates(leaf)
-      if (cands.isEmpty) Array.empty[Long]
-      else {
-        val out = new scala.collection.mutable.ArrayBuffer[Long](2)
-        var i = 0
-        while (i < cands.length) {
-          val rid = cands(i) >> 1
-          val interior = (cands(i) & 1L) == 1L
-          if (!out.contains(rid) && (interior || ref(rid, lat, lng))) out += rid
-          i += 1
-        }
-        out.toArray
-      }
-    })
-    points.withColumn(outCol, explode(matcher(col(latCol), col(lngCol))))
+    // Native codegen expression (not a ScalaUDF): the probe runs inside
+    // whole-stage codegen with primitive doubles, no boxing/encoder hops.
+    val matcher = graft.functions.ColumnBridge.column(
+      graft.functions.CoveringProbeExpr(
+        graft.functions.ColumnBridge.expression(col(latCol)),
+        graft.functions.ColumnBridge.expression(col(lngCol)), bc))
+    points.withColumn(outCol, explode(matcher))
   }
 
   private val defaultCoverer = RegionCoverer(maxCells = 32)
