@@ -134,4 +134,48 @@ object Predicates {
     if (s != 0) return s
     CounterClockwise // dc.Z * db.Y * da.X
   }
+
+  // ------------------------------------------------------------------
+  // Exact distance comparison (the CompareDistances tier of
+  // /root/reference/s2/predicates.go:561-731): decides the sign of
+  // d(x,a) - d(x,b) with a cheap double triage and an exact BigDecimal
+  // fallback. Squared chord length is the distance currency
+  // (monotone in angle, s1/chordangle.go:107), and sums/products of
+  // doubles are exactly representable in BigDecimal, so the fallback
+  // tier is exact.
+
+  /** Squared chord |x-y|^2 in double (point.go:141-143 without the cap
+    * at 4, which does not affect comparisons).
+    */
+  def chord2(x: Vec3, y: Vec3): Double = {
+    val dx = x.x - y.x
+    val dy = x.y - y.y
+    val dz = x.z - y.z
+    dx * dx + dy * dy + dz * dz
+  }
+
+  private def bd(d: Double) = new java.math.BigDecimal(d)
+
+  /** Exact squared chord as a BigDecimal. */
+  def chord2Exact(x: Vec3, y: Vec3): java.math.BigDecimal = {
+    val dx = bd(x.x).subtract(bd(y.x))
+    val dy = bd(x.y).subtract(bd(y.y))
+    val dz = bd(x.z).subtract(bd(y.z))
+    dx.multiply(dx).add(dy.multiply(dy)).add(dz.multiply(dz))
+  }
+
+  /** Sign of d(x,a) - d(x,b): +1 when a is farther, -1 when b is
+    * farther, 0 for exactly equidistant points. Triage bound: each
+    * component difference carries <= 0.5 ulp error, each product <= 1.5
+    * ulp relative, the 3-term sum <= 2 ulps => 4.5*eps*(da+db) is a safe
+    * separation; anything closer goes to the exact tier.
+    */
+  def compareDistances(x: Vec3, a: Vec3, b: Vec3): Int = {
+    val da = chord2(x, a)
+    val db = chord2(x, b)
+    val err = 4.5 * MachineEps * (da + db)
+    if (da - db > err) return 1
+    if (db - da > err) return -1
+    chord2Exact(x, a).compareTo(chord2Exact(x, b))
+  }
 }

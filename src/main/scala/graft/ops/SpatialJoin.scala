@@ -185,48 +185,84 @@ object SpatialJoin {
       "query_id", latCol, lngCol)
   }
 
-  /** kNN join: for each query point, the k nearest data points by chord
-    * angle. Iterative cap-radius expansion (the distributed analogue of
-    * the reference's best-first cell search, edge_query.go:527-569):
-    * start from an initial radius, join, keep satisfied queries, double
-    * the radius for the rest; exact re-rank via per-query window top-k.
-    */
+  /** kNN join (driver-side query list): thin wrapper over knnJoinDF. */
   def knnJoin(spark: SparkSession, points: DataFrame,
               queries: Seq[(Long, Double, Double)], k: Int,
               latCol: String = "lat", lngCol: String = "lng",
               initialRadiusMeters: Double = 100000,
-              maxRounds: Int = 8,
               tieBreakCol: String = null): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    knnJoinDF(spark, points, queries.toDF("query_id", "q_lat", "q_lng"), k,
+      latCol, lngCol, initialRadiusMeters, tieBreakCol)
+  }
 
-    var pending = queries
-    var radius = initialRadiusMeters
-    var acc: DataFrame = null
-    var round = 0
-    while (pending.nonEmpty && round < maxRounds) {
-      val qs = pending.map(q => (q._1, q._2, q._3, radius))
-      val joined = radiusJoin(spark, points, qs, latCol, lngCol)
-        .withColumn("q_lat", qMapCol(qs.map(q => (q._1, q._2))))
-        .withColumn("q_lng", qMapCol(qs.map(q => (q._1, q._3))))
+  /** kNN join with a DataFrame query side, bounded to TWO passes over the
+    * points table (vs the r1 radius-doubling loop's up-to-8 full scans
+    * plus per-round driver collects):
+    *
+    *  1. Grid pass: pick the finest level whose min cell width covers the
+    *     initial radius; every point within r0 of a query then lies in
+    *     the query cell's 3x3 neighbor ring, so an equi-join on the ring
+    *     cells finds ALL candidates within r0. A per-query window count
+    *     (no driver round trip) marks queries with >= k candidates —
+    *     their global top-k is provably inside the r0 candidate set.
+    *  2. Brute pass: the (few) unsatisfied queries anti-join out and run
+    *     against the full points table as a broadcast — the guaranteed-
+    *     correct fallback for sparse regions, costing one more scan.
+    *
+    * Both consumers of the grid join sit behind the same exchange, so AQE
+    * reuses the shuffle instead of re-scanning. This mirrors the
+    * reference's brute-below-threshold vs best-first split
+    * (edge_query.go:475-491).
+    */
+  def knnJoinDF(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                k: Int, latCol: String = "lat", lngCol: String = "lng",
+                initialRadiusMeters: Double = 100000,
+                tieBreakCol: String = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.S2
+
+    val angle = Earth.angleFromMeters(initialRadiusMeters)
+    val q = queries.select(col("query_id"), col("q_lat"), col("q_lng"))
+
+    val acc: DataFrame = if (angle > Metric.MinWidth.value(0)) {
+      // Radius exceeds the coverage guarantee of any cell ring: brute only.
+      points.crossJoin(broadcast(q))
         .withColumn("dist_rad",
-          graft.functions.S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
-      val counts = joined.groupBy("query_id").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val satisfied = pending.filter(q => counts.getOrElse(q._1, 0L) >= k).map(_._1).toSet
-      val done = joined.filter(col("query_id").isInCollection(satisfied))
-      acc = if (acc == null) done else acc.unionByName(done)
-      pending = pending.filterNot(q => satisfied.contains(q._1))
-      radius *= 2
-      round += 1
-    }
-    if (pending.nonEmpty) {
-      // Brute-force fallback for stragglers (empty regions).
-      val qDf = spark.createDataFrame(pending).toDF("query_id", "q_lat", "q_lng")
-      val brute = points.crossJoin(broadcast(qDf))
+          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
+    } else {
+      val level = Metric.MinWidth.maxLevel(angle)
+      val qCells = q
+        .withColumn("q_cell", S2.parent(S2.cellId(col("q_lat"), col("q_lng")), lit(level)))
+        .withColumn("cell", explode(array_union(
+          S2.neighbors(col("q_cell"), lit(level)), array(col("q_cell")))))
+        .drop("q_cell")
+      val pCells = points.withColumn("cell",
+        S2.parent(S2.cellId(col(latCol), col(lngCol)), lit(level)))
+
+      // The candidate set (points within r0 of any query ring) is the
+      // join's working set — orders of magnitude smaller than the points
+      // table. Persisting it means both consumers (count + output) read
+      // the cache, so points parquet is scanned exactly once here.
+      val candidates = pCells.join(qCells, "cell")
         .withColumn("dist_rad",
-          graft.functions.S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
-      acc = if (acc == null) brute else acc.unionByName(brute)
+          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
+        .filter(col("dist_rad") <= lit(angle))
+        .drop("cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      val satisfiedIds = candidates.groupBy("query_id")
+        .agg(count(lit(1)).as("n_cand"))
+        .filter(col("n_cand") >= k)
+        .select("query_id")
+      val satisfied = candidates.join(broadcast(satisfiedIds), "query_id")
+      val leftoverQ = q.join(satisfiedIds, Seq("query_id"), "left_anti")
+      val brute = points.crossJoin(broadcast(leftoverQ))
+        .withColumn("dist_rad",
+          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
+      satisfied.unionByName(brute)
     }
+
     val order =
       if (tieBreakCol == null) Seq(col("dist_rad").asc)
       else Seq(col("dist_rad").asc, col(tieBreakCol).asc)
@@ -234,7 +270,4 @@ object SpatialJoin {
     acc.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
   }
-
-  private def qMapCol(pairs: Seq[(Long, Double)]): Column =
-    element_at(map(pairs.flatMap(p => Seq(lit(p._1), lit(p._2))): _*), col("query_id"))
 }
