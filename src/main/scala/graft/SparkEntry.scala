@@ -159,16 +159,21 @@ object SparkEntry {
     }),
 
     // Cell encode + coarse aggregation: pages per level-6 cell (the
-    // "cells encoded" half of the throughput metric). Rows-only check
-    // (cell ids are not SQL-expressible) — golden parity lives in
-    // CellIdSpec.
+    // "cells encoded" half of the throughput metric). The output keys the
+    // histogram by the cell's (face, i, j) grid coordinates — the same
+    // partition of the sphere as the level-6 cells, but derivable in SQL
+    // via the quadratic ST projection, making the whole encode+decode
+    // path oracle-checkable.
     "q_cell_agg" -> ((s, dir) => {
       import graft.functions.S2
       pages(s, dir)
         .withColumn("cell_id", S2.cellId(col("lat"), col("lng")))
         .withColumn("cell_l6", S2.parent(col("cell_id"), lit(6)))
         .groupBy("cell_l6").agg(count("*").as("n_pages"))
-        .select(S2.token(col("cell_l6")).as("cell_token"), col("n_pages"))
+        .select(S2.face(col("cell_l6")).cast("long").as("face"),
+          S2.cellI(col("cell_l6"), lit(6)).cast("long").as("i6"),
+          S2.cellJ(col("cell_l6"), lit(6)).cast("long").as("j6"),
+          col("n_pages"))
     }),
 
     // kNN join: 5 nearest pages to each city center via iterative
@@ -269,7 +274,8 @@ object SparkEntry {
           graft.core.Polyline.fromLatLngsDegrees(Seq(a, b)))
       }).toSeq
       graft.ops.CrossingJoin.polylinePolygonJoin(s, lines, cityPolygons)
-        .orderBy("line_id", "poly_id")
+        .select(col("line_id"), col("poly_id"),
+          col("crossings").cast("long").as("crossings"))
     }),
 
     // Polygon x polygon overlay join: covering-cell candidate pairing +
@@ -505,11 +511,85 @@ object SparkEntry {
        |    WHERE e.nx*p.px + e.ny*p.py + e.nz*p.pz <= 0)""".stripMargin
   }
 
+  /** Oracle for the polyline x polygon crossing join. Crossing condition
+    * is the reference's full four-orientation test (edge_crosser.go:
+    * crossing iff acb == bda == cbd == dac), NOT the naive two-straddle
+    * test — for near-antipodal city-pair arcs the naive test false-fires
+    * when the line's great circle (but not its minor arc) passes through
+    * a polygon on the far side of the sphere.
+    */
+  private def crossingSql: String = {
+    val cities = PagesSource.cities
+    val lines = (for { i <- cities.indices; j <- cities.indices if i < j } yield {
+      val a = LatLng.toPointDegrees(cities(i)._1, cities(i)._2)
+      val b = LatLng.toPointDegrees(cities(j)._1, cities(j)._2)
+      f"(${i * 100 + j}, ${a.x}%.17e, ${a.y}%.17e, ${a.z}%.17e, ${b.x}%.17e, ${b.y}%.17e, ${b.z}%.17e)"
+    }).mkString(", ")
+    val verts = cityPolygons.flatMap { case (id, loop) =>
+      (0 until loop.numVertices).map { k =>
+        val v = loop.vertex(k)
+        f"($id, $k, ${v.x}%.17e, ${v.y}%.17e, ${v.z}%.17e)"
+      }
+    }.mkString(", ")
+    s"""WITH lines(line_id, px, py, pz, qx, qy, qz) AS (VALUES $lines),
+       | pv(poly, idx, x, y, z) AS (VALUES $verts),
+       | pe AS (SELECT a.poly, a.idx,
+       |   a.x AS ax, a.y AS ay, a.z AS az, b.x AS bx, b.y AS byy, b.z AS bz
+       |   FROM pv a JOIN pv b ON a.poly = b.poly AND b.idx = (a.idx + 1) % 64),
+       | cr AS (SELECT l.line_id, e.poly, CASE WHEN
+       |     ((l.py*l.qz - l.pz*l.qy)*e.ax + (l.pz*l.qx - l.px*l.qz)*e.ay + (l.px*l.qy - l.py*l.qx)*e.az)
+       |   * ((l.py*l.qz - l.pz*l.qy)*e.bx + (l.pz*l.qx - l.px*l.qz)*e.byy + (l.px*l.qy - l.py*l.qx)*e.bz) < 0
+       |   AND
+       |     ((l.py*l.qz - l.pz*l.qy)*e.ax + (l.pz*l.qx - l.px*l.qz)*e.ay + (l.px*l.qy - l.py*l.qx)*e.az)
+       |   * ((e.ay*e.bz - e.az*e.byy)*l.px + (e.az*e.bx - e.ax*e.bz)*l.py + (e.ax*e.byy - e.ay*e.bx)*l.pz) < 0
+       |   AND
+       |     ((l.py*l.qz - l.pz*l.qy)*e.ax + (l.pz*l.qx - l.px*l.qz)*e.ay + (l.px*l.qy - l.py*l.qx)*e.az)
+       |   * ((e.ay*e.bz - e.az*e.byy)*l.qx + (e.az*e.bx - e.ax*e.bz)*l.qy + (e.ax*e.byy - e.ay*e.bx)*l.qz) > 0
+       |   THEN 1 ELSE 0 END AS c
+       |   FROM lines l CROSS JOIN pe e),
+       | agg AS (SELECT line_id, poly, SUM(c) AS crossings FROM cr GROUP BY 1, 2),
+       | contained AS (SELECT l.line_id, p.poly
+       |   FROM lines l, (SELECT DISTINCT poly FROM pv) p
+       |   WHERE NOT EXISTS (SELECT 1 FROM pe e WHERE e.poly = p.poly
+       |     AND (e.ay*e.bz - e.az*e.byy)*l.px + (e.az*e.bx - e.ax*e.bz)*l.py
+       |       + (e.ax*e.byy - e.ay*e.bx)*l.pz <= 0))
+       |SELECT CAST(a.line_id AS BIGINT) AS line_id,
+       |  CAST(a.poly AS BIGINT) AS poly_id, CAST(a.crossings AS BIGINT) AS crossings
+       |FROM agg a LEFT JOIN contained c ON c.line_id = a.line_id AND c.poly = a.poly
+       |WHERE a.crossings > 0 OR c.line_id IS NOT NULL""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val polys = cityPolygons
     Map(
       "q_poly_overlap" -> polyOverlapSql,
       "q_pip_coast" -> pipCoastSql,
+      "q_crossing" -> crossingSql,
+      "q_cell_agg" ->
+        s"""$pagesCte, f1 AS (
+           |  SELECT CASE WHEN abs(px) > abs(py)
+           |    THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+           |    ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis,
+           |    px, py, pz FROM pts),
+           | f2 AS (SELECT CASE WHEN axis = 0 AND px < 0 THEN 3
+           |    WHEN axis = 1 AND py < 0 THEN 4
+           |    WHEN axis = 2 AND pz < 0 THEN 5 ELSE axis END AS face,
+           |    px, py, pz FROM f1),
+           | uv AS (SELECT face,
+           |  CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+           |    WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+           |  CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+           |    WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+           |  FROM f2),
+           | st AS (SELECT face,
+           |  CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+           |  CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+           |  FROM uv)
+           |SELECT CAST(face AS BIGINT) AS face,
+           |  CAST(greatest(0, least(63, floor(s*64))) AS BIGINT) AS i6,
+           |  CAST(greatest(0, least(63, floor(t*64))) AS BIGINT) AS j6,
+           |  count(*) AS n_pages
+           |FROM st GROUP BY 1, 2, 3""".stripMargin,
       "q_pip_city" -> {
         val branches = polys.map { case (id, loop) =>
           s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"

@@ -250,6 +250,21 @@ object CellId {
   /** Decode id -> (face, i, j, orientation) (cellid.go:539-573).
     * Returns the packed result; use the fij* accessors.
     */
+  /** The cell's i index at its own or a coarser level: every leaf in a
+    * level-k cell shares the same top-k bits of (i, j), so decoding any
+    * leaf (rangeMin here) and shifting yields the level-k grid index
+    * (cellid.go:539-573 decode + the (face,i,j) prefix property).
+    */
+  def iAtLevel(id: Long, level: Int): Int = {
+    val (_, i, _, _) = faceIJOrientation(rangeMin(id))
+    i >>> (MaxLevel - level)
+  }
+
+  def jAtLevel(id: Long, level: Int): Int = {
+    val (_, _, j, _) = faceIJOrientation(rangeMin(id))
+    j >>> (MaxLevel - level)
+  }
+
   def faceIJOrientation(id: Long): (Int, Int, Int, Int) = {
     val f = face(id)
     var orientation = f & SwapMask

@@ -114,6 +114,47 @@ case class S2LngExpr(child: Expression)
   override def prettyName: String = "s2_lng"
 }
 
+/** s2_face(cell) -> cube face 0..5. */
+case class S2FaceExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(id: Any): Any =
+    graft.core.CellId.face(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"${S2Expressions.K}.face($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "s2_face"
+}
+
+/** s2_i(cell, level) -> grid i index of the cell at the given level. */
+case class S2CellIExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(id: Any, level: Any): Any =
+    graft.core.CellId.iAtLevel(id.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${S2Expressions.K}.iAtLevel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_i"
+}
+
+/** s2_j(cell, level) -> grid j index of the cell at the given level. */
+case class S2CellJExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(id: Any, level: Any): Any =
+    graft.core.CellId.jAtLevel(id.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${S2Expressions.K}.jAtLevel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_j"
+}
+
 /** s2_range_min(cell) / s2_range_max(cell) -> leaf range endpoints. */
 case class S2RangeMinExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -320,6 +361,9 @@ object S2 {
   def fromToken(tok: Column): Column = col(S2FromTokenExpr(expr(tok)))
   def lat(cell: Column): Column = col(S2LatExpr(expr(cell)))
   def lng(cell: Column): Column = col(S2LngExpr(expr(cell)))
+  def face(cell: Column): Column = col(S2FaceExpr(expr(cell)))
+  def cellI(cell: Column, level: Column): Column = col(S2CellIExpr(expr(cell), expr(level)))
+  def cellJ(cell: Column, level: Column): Column = col(S2CellJExpr(expr(cell), expr(level)))
   def rangeMin(cell: Column): Column = col(S2RangeMinExpr(expr(cell)))
   def rangeMax(cell: Column): Column = col(S2RangeMaxExpr(expr(cell)))
   def cellContains(anc: Column, cell: Column): Column =
@@ -347,6 +391,9 @@ object S2 {
     add1("s2_from_token", S2FromTokenExpr)
     add1("s2_lat", S2LatExpr)
     add1("s2_lng", S2LngExpr)
+    add1("s2_face", S2FaceExpr)
+    add2("s2_i", S2CellIExpr)
+    add2("s2_j", S2CellJExpr)
     add1("s2_range_min", S2RangeMinExpr)
     add1("s2_range_max", S2RangeMaxExpr)
     add2("s2_cell_contains", S2CellContainsExpr)
