@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (getOrCreate) in the forked JVM; running
+// them concurrently makes unified-memory exhaustion timing-dependent
+// (UNABLE_TO_ACQUIRE_MEMORY flakes under unlucky interleavings of the
+// heavier window/sort suites). Serial execution keeps every run
+// deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

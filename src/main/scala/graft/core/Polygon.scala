@@ -34,11 +34,12 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
   def isFull: Boolean = loops.length == 1 && loops(0).isFull
 
   val bound: SphereRect = {
-    // Union of the bounds of the loops at depth 0 would need nesting;
-    // parity semantics make the union of all loop bounds a safe bound
-    // for any point that can be contained.
+    // Union of the SHELL loop bounds only (polygon.go:389-405): every
+    // contained point lies inside a depth-even loop's region, and a CW
+    // hole loop's own bound is near-full, so including holes would
+    // destroy the bound's selectivity.
     var b = SphereRect.empty
-    loops.foreach(l => b = b.union(l.bound))
+    loops.foreach(l => if (!l.isHole) b = b.union(l.bound))
     b
   }
 

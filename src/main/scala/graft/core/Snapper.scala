@@ -55,87 +55,156 @@ final case class IntLatLngSnapper(exponent: Int) extends Snapper {
   }
 }
 
-/** Lossless little-endian wire codec for geometry values stored in binary
-  * columns (/root/reference/s2/encode.go:15-60 framing; simplified: same
-  * version byte + LE doubles, no varint point compression).
+/** The reference's C++/Java-interoperable lossless wire format
+  * (/root/reference/s2/encode.go:15-60 framing; field orders from
+  * cap.go:500-505, rect.go:439-445, loop.go:1261-1275,
+  * polygon.go:encodeLossless, polyline.go:362-370, cellunion.go encode).
+  * Compressed variants (polygon v4 / polyline v2 / point compression)
+  * are not implemented; decode rejects their version bytes.
   */
 object Codec {
   private val Version: Byte = 1
+  import java.nio.{ByteBuffer, ByteOrder}
 
-  def encodeCellId(id: Long): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.putLong(id)
-    b.array()
+  private def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+  private def rd(bytes: Array[Byte]) =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  // CellID: raw little-endian uint64 (cellid encode).
+  def encodeCellId(id: Long): Array[Byte] = buf(8).putLong(id).array()
+  def decodeCellId(bytes: Array[Byte]): Long = rd(bytes).getLong
+
+  // Cap: center xyz + chord-angle radius, no version byte (cap.go:500-505).
+  def encodeCap(c: Cap): Array[Byte] =
+    buf(32).putDouble(c.center.x).putDouble(c.center.y).putDouble(c.center.z)
+      .putDouble(c.radius).array()
+  def decodeCap(bytes: Array[Byte]): Cap = {
+    val b = rd(bytes)
+    Cap(Vec3(b.getDouble, b.getDouble, b.getDouble), b.getDouble)
   }
 
-  def decodeCellId(bytes: Array[Byte]): Long =
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  // Point: version + xyz (point encode).
+  def encodePoint(p: Vec3): Array[Byte] =
+    buf(25).put(Version).putDouble(p.x).putDouble(p.y).putDouble(p.z).array()
+  def decodePoint(bytes: Array[Byte]): Vec3 = {
+    val b = rd(bytes)
+    require(b.get() == Version, "bad version")
+    Vec3(b.getDouble, b.getDouble, b.getDouble)
+  }
 
-  def encodeCellUnion(cu: CellUnion): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(1 + 4 + 8 * cu.size)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  // Rect: version + lat.lo, lat.hi, lng.lo, lng.hi (rect.go:439-445).
+  def encodeRect(r: SphereRect): Array[Byte] =
+    buf(33).put(Version).putDouble(r.lat.lo).putDouble(r.lat.hi)
+      .putDouble(r.lng.lo).putDouble(r.lng.hi).array()
+  def decodeRect(bytes: Array[Byte]): SphereRect = {
+    val b = rd(bytes)
+    require(b.get() == Version, "bad version")
+    decodeRectFrom(b)
+  }
+  private def encodeRectInto(b: ByteBuffer, r: SphereRect): Unit = {
     b.put(Version)
-    b.putInt(cu.size)
+    b.putDouble(r.lat.lo); b.putDouble(r.lat.hi)
+    b.putDouble(r.lng.lo); b.putDouble(r.lng.hi)
+  }
+  private def decodeRectFrom(b: ByteBuffer): SphereRect =
+    SphereRect(R1Interval(b.getDouble, b.getDouble),
+      S1Interval(b.getDouble, b.getDouble))
+
+  // CellUnion: version + int64 count + raw cell ids (cellunion encode).
+  def encodeCellUnion(cu: CellUnion): Array[Byte] = {
+    val b = buf(1 + 8 + 8 * cu.size)
+    b.put(Version)
+    b.putLong(cu.size.toLong)
     cu.ids.foreach(b.putLong)
     b.array()
   }
-
   def decodeCellUnion(bytes: Array[Byte]): CellUnion = {
-    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val b = rd(bytes)
     require(b.get() == Version, "bad version")
-    val n = b.getInt
+    val n = b.getLong.toInt
     val ids = new Array[Long](n)
     var i = 0
     while (i < n) { ids(i) = b.getLong; i += 1 }
     CellUnion.fromNormalized(ids)
   }
 
-  /** Loop wire form: version | originInside | n | n*(x,y,z doubles).
-    * Mirrors the reference's lossless loop encoding fields
-    * (loop.go:1255-1324) without the compressed variant.
-    */
-  def encodeLoop(l: Loop): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(1 + 1 + 4 + 24 * l.numVertices)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  // Loop: version + uint32 n + vertices + originInside + int32 depth +
+  // bound rect (loop.go:1261-1275).
+  private def loopEncodedSize(l: Loop): Int = 1 + 4 + 24 * l.numVertices + 1 + 4 + 33
+  private def encodeLoopInto(b: ByteBuffer, l: Loop): Unit = {
     b.put(Version)
-    b.put(if (l.originInside) 1.toByte else 0.toByte)
     b.putInt(l.numVertices)
     l.vertices.foreach { v => b.putDouble(v.x); b.putDouble(v.y); b.putDouble(v.z) }
+    b.put(if (l.originInside) 1.toByte else 0.toByte)
+    b.putInt(l.depth)
+    encodeRectInto(b, l.bound)
+  }
+  def encodeLoop(l: Loop): Array[Byte] = {
+    val b = buf(loopEncodedSize(l))
+    encodeLoopInto(b, l)
     b.array()
   }
-
-  def decodeLoop(bytes: Array[Byte]): Loop = {
-    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  private def decodeLoopFrom(b: ByteBuffer): Loop = {
     require(b.get() == Version, "bad version")
-    val originInside = b.get() == 1
     val n = b.getInt
     val verts = Array.fill(n)(Vec3(b.getDouble, b.getDouble, b.getDouble))
     val loop = Loop.fromPoints(verts)
+    val originInside = b.get() == 1
     // originInside is derivable from vertices; assert round-trip integrity
     require(loop.originInside == originInside, "origin parity mismatch on decode")
+    loop.depth = b.getInt
+    require(b.get() == Version, "bad bound version")
+    decodeRectFrom(b) // bound is recomputed by the constructor
     loop
   }
+  def decodeLoop(bytes: Array[Byte]): Loop = decodeLoopFrom(rd(bytes))
 
+  // Polygon (lossless v1): version + legacy true + hasHoles + uint32
+  // numLoops + loops + bound (polygon.go encodeLossless). The empty/full
+  // special cases use the compressed v4 format in the reference and are
+  // rejected here.
   def encodePolygon(p: Polygon): Array[Byte] = {
-    val loops = p.loops.map(encodeLoop)
-    val total = 1 + 4 + loops.map(l => 4 + l.length).sum
-    val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(p.loops.nonEmpty && p.loops.exists(_.numVertices > 1),
+      "empty/full polygons use the compressed format (not implemented)")
+    val total = 1 + 1 + 1 + 4 + p.loops.map(loopEncodedSize).sum + 33
+    val b = buf(total)
     b.put(Version)
-    b.putInt(loops.length)
-    loops.foreach { l => b.putInt(l.length); b.put(l) }
+    b.put(1.toByte) // legacy C++ value, must be true
+    b.put(if (p.hasHoles) 1.toByte else 0.toByte)
+    b.putInt(p.loops.length)
+    p.loops.foreach(l => encodeLoopInto(b, l))
+    encodeRectInto(b, p.bound)
     b.array()
   }
-
   def decodePolygon(bytes: Array[Byte]): Polygon = {
-    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(b.get() == Version, "bad version")
+    val b = rd(bytes)
+    require(b.get() == Version, "bad version (compressed v4 not supported)")
+    b.get() // legacy
+    b.get() // hasHoles (recomputed)
     val n = b.getInt
-    val loops = Array.fill(n) {
-      val len = b.getInt
-      val arr = new Array[Byte](len)
-      b.get(arr)
-      decodeLoop(arr)
-    }
+    val loops = Array.fill(n)(decodeLoopFrom(b))
+    require(b.get() == Version, "bad bound version")
+    decodeRectFrom(b)
     new Polygon(loops)
   }
+
+  // Polyline: version + uint32 n + points (polyline.go:362-370). The
+  // points-level functions also cover the reference's legal empty
+  // polyline, which the Polyline class itself rejects (>= 2 vertices).
+  def encodePolylinePoints(vs: Array[Vec3]): Array[Byte] = {
+    val b = buf(1 + 4 + 24 * vs.length)
+    b.put(Version)
+    b.putInt(vs.length)
+    vs.foreach { v => b.putDouble(v.x); b.putDouble(v.y); b.putDouble(v.z) }
+    b.array()
+  }
+  def decodePolylinePoints(bytes: Array[Byte]): Array[Vec3] = {
+    val b = rd(bytes)
+    require(b.get() == Version, "bad version")
+    val n = b.getInt
+    Array.fill(n)(Vec3(b.getDouble, b.getDouble, b.getDouble))
+  }
+  def encodePolyline(p: Polyline): Array[Byte] = encodePolylinePoints(p.vertices)
+  def decodePolyline(bytes: Array[Byte]): Polyline =
+    new Polyline(decodePolylinePoints(bytes))
 }

@@ -50,7 +50,13 @@ object ShuffleSpatialJoin {
   }
 
   /** Build the polygon dimension DataFrame:
-    * (cell_lk long, poly_id long, is_interior boolean, geom binary).
+    * (cell_lk long, poly_id long, is_interior boolean).
+    *
+    * Geometry bytes deliberately do NOT ride on covering rows: a fine
+    * join level times per-row geometry multiplies the dim table by the
+    * vertex count (hundreds of MB of duplicated bytes for city-sized
+    * polygon sets). Geometry travels once per polygon in the separate
+    * geometryTable and joins back only for boundary candidates.
     */
   def polygonDimTable(spark: SparkSession, polygons: Seq[(Long, Loop)],
                       level: Int, maxCells: Int = 32): DataFrame = {
@@ -60,23 +66,28 @@ object ShuffleSpatialJoin {
       val covering = coverer.covering(loop)
       val interior = coverer.interiorCovering(loop)
       val boundary = covering.difference(interior)
-      val geom = Codec.encodeLoop(loop)
       def atLevel(cu: CellUnion, isInterior: Boolean) =
         cu.denormalize(level, 1).ids.map { c =>
           val lvl = CellId.level(c) // >= level after denormalize
           // A finer-than-k cell rolls up to its level-k parent, but the
           // parent is NOT fully interior — force the refine in that case.
-          (CellId.parent(c, level), id, isInterior && lvl == level, geom)
+          (CellId.parent(c, level), id, isInterior && lvl == level)
         }
       (atLevel(interior, isInterior = true) ++ atLevel(boundary, isInterior = false))
         .distinct
     }
-    rows.toDF("cell_lk", "poly_id", "is_interior", "geom")
+    rows.toDF("cell_lk", "poly_id", "is_interior")
       // a polygon may touch the same level-k cell with both interior and
       // boundary sub-cells; keep interior=false in that case (must refine)
       .groupBy("cell_lk", "poly_id")
-      .agg(min(col("is_interior").cast("int")).cast("boolean").as("is_interior"),
-        first(col("geom")).as("geom"))
+      .agg(min(col("is_interior").cast("int")).cast("boolean").as("is_interior"))
+  }
+
+  /** One wire-encoded geometry row per polygon. */
+  def geometryTable(spark: SparkSession, polygons: Seq[(Long, Loop)]): DataFrame = {
+    import spark.implicits._
+    polygons.map { case (id, l) => (id, Codec.encodeLoop(l)) }
+      .toDF("poly_id", "geom")
   }
 
   /** The shuffle-path join itself. Returns points + poly_id. */
@@ -87,6 +98,7 @@ object ShuffleSpatialJoin {
     val coverer = RegionCoverer(maxCells = 32)
     val level = chooseLevel(polygons.map(p => coverer.covering(p._2)), maxDimRows)
     val dim = polygonDimTable(spark, polygons, level)
+    val geoms = geometryTable(spark, polygons)
 
     import graft.functions.S2
     val pts = points
@@ -99,10 +111,16 @@ object ShuffleSpatialJoin {
       ShuffleSpatialJoin.cachedLoop(geom)
         .containsPoint(LatLng.toPointDegrees(lat, lng)))
 
-    pts.join(dim, "cell_lk")
-      .filter(col("is_interior") || refine(col("geom"),
-        col(latCol), col(lngCol)))
+    val candidates = pts.join(dim, "cell_lk")
+    val interiorHits = candidates.filter(col("is_interior"))
+      .drop("cell_lk", "is_interior")
+    // Only boundary candidates need geometry (AQE picks broadcast vs
+    // shuffle for the per-polygon geometry join by its actual size).
+    val boundaryHits = candidates.filter(!col("is_interior"))
+      .join(geoms, "poly_id")
+      .filter(refine(col("geom"), col(latCol), col(lngCol)))
       .drop("cell_lk", "is_interior", "geom")
+    interiorHits.unionByName(boundaryHits)
   }
 
   // Executor-local decode cache keyed by the geometry BYTES, not the

@@ -244,12 +244,14 @@ object SpatialJoin {
       // join's working set — orders of magnitude smaller than the points
       // table. Persisting it means both consumers (count + output) read
       // the cache, so points parquet is scanned exactly once here.
+      // DISK_ONLY: candidate blocks must never compete with execution
+      // memory (storage-pool pressure starves concurrent sorts).
       val candidates = pCells.join(qCells, "cell")
         .withColumn("dist_rad",
           S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
         .filter(col("dist_rad") <= lit(angle))
         .drop("cell")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
       val satisfiedIds = candidates.groupBy("query_id")
         .agg(count(lit(1)).as("n_cand"))
