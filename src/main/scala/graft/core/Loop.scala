@@ -108,6 +108,9 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
       case None => Array.tabulate(vertices.length)(identity)
     }
 
+  /** Public candidate-edge access for engine operators (crossing joins). */
+  def candidateEdgesPublic(a: Vec3, b: Vec3): Array[Int] = candidateEdges(a, b)
+
   def containsPoint(p: Vec3): Boolean = {
     if (!bound.containsPoint(p)) return false
     builtIndex match {

@@ -8,58 +8,73 @@ import graft.core._
   * polygon boundaries — the distributed analogue of the reference's
   * CrossingEdgeQuery (/root/reference/s2/crossing_edge_query.go:15-60).
   *
-  * Candidates come from the same broadcast covering index as the PIP join
-  * (polyline covering cells vs polygon covering intervals); the refine is
-  * the exact chain edge-crossing test.
+  * The polyline side is a DataFrame (a trajectory table at any scale);
+  * polygons are broadcast with their bounds. Candidates are pruned by
+  * chain-bound x polygon-bound intersection, then refined with exact
+  * chain crossing signs; for large polygons the per-segment candidate
+  * edges come from the loop's edge index, so the refine is sublinear in
+  * the polygon's vertex count.
   */
 object CrossingJoin {
 
-  /** Returns (line_id, poly_id, crossings) for every polyline whose chain
-    * crosses the polygon boundary at least once, plus containment-only
-    * overlaps flagged with crossings = 0 when `includeContained`.
-    */
+  /** Driver-side polyline list convenience; wraps the DataFrame path. */
   def polylinePolygonJoin(spark: SparkSession,
                           polylines: Seq[(Long, Polyline)],
                           polygons: Seq[(Long, Loop)],
                           maxCells: Int = 16,
                           includeContained: Boolean = true): DataFrame = {
     import spark.implicits._
-    val coverer = RegionCoverer(maxCells = maxCells)
-    val polyEntries = polygons.map { case (id, loop) =>
-      (id, loop, coverer.covering(loop))
-    }
-    val bc = spark.sparkContext.broadcast(polyEntries)
+    val lines = polylines.map { case (id, pl) =>
+      (id, pl.vertices.map(_.x).toSeq, pl.vertices.map(_.y).toSeq,
+        pl.vertices.map(_.z).toSeq)
+    }.toDF("line_id", "xs", "ys", "zs")
+    polylinePolygonJoinDF(spark, lines, polygons, includeContained)
+  }
 
-    // distribute polylines; each task tests its lines against broadcast
-    // polygons whose coverings intersect the line's covering
-    val lines = spark.sparkContext.parallelize(polylines, math.max(1,
-      math.min(polylines.size, spark.sparkContext.defaultParallelism)))
-    val rows = lines.flatMap { case (lineId, line) =>
-      val lineCov = RegionCoverer(maxCells = 16).covering(line)
-      bc.value.iterator.flatMap { case (polyId, loop, polyCov) =>
-        if (!lineCov.intersectsUnion(polyCov)) None
+  /** DataFrame polyline side: (line_id, xs, ys, zs) unit-vector component
+    * arrays. Returns (line_id, poly_id, crossings); containment-only
+    * overlaps carry crossings = 0 when includeContained.
+    */
+  def polylinePolygonJoinDF(spark: SparkSession, lines: DataFrame,
+                            polygons: Seq[(Long, Loop)],
+                            includeContained: Boolean = true): DataFrame = {
+    val bc = spark.sparkContext.broadcast(polygons)
+
+    val matchUdf = udf((xs: Seq[Double], ys: Seq[Double], zs: Seq[Double]) => {
+      val verts = Array.tabulate(xs.length)(i => Vec3(xs(i), ys(i), zs(i)))
+      val rb = new RectBounder
+      verts.foreach(rb.addPoint)
+      val lineBound = rb.rectBound
+      bc.value.iterator.flatMap { case (polyId, loop) =>
+        if (!lineBound.intersects(loop.bound)) None
         else {
-          // exact crossing count of the chain against the loop boundary
           var crossings = 0
           var i = 1
-          while (i < line.vertices.length) {
-            val crosser = new EdgeCrosser(line.vertices(i - 1), line.vertices(i))
-            var j = 0
-            while (j < loop.numVertices) {
-              if (crosser.crossingSignTo(loop.vertex(j), loop.vertex(j + 1))
+          while (i < verts.length) {
+            val a = verts(i - 1)
+            val b = verts(i)
+            val crosser = new EdgeCrosser(a, b)
+            val cand = loop.candidateEdgesPublic(a, b)
+            var k = 0
+            while (k < cand.length) {
+              val e = cand(k)
+              if (crosser.crossingSignTo(loop.vertex(e), loop.vertex(e + 1))
                 == EdgeCrossings.Cross) crossings += 1
-              j += 1
+              k += 1
             }
             i += 1
           }
-          val contained = crossings == 0 &&
-            loop.containsPoint(line.vertices(0))
+          val contained = crossings == 0 && loop.containsPoint(verts(0))
           if (crossings > 0 || (includeContained && contained))
-            Some((lineId, polyId, crossings))
+            Some((polyId, crossings))
           else None
         }
-      }
-    }
-    rows.toDF("line_id", "poly_id", "crossings")
+      }.toSeq
+    })
+
+    lines
+      .select(col("line_id"),
+        explode(matchUdf(col("xs"), col("ys"), col("zs"))).as("m"))
+      .select(col("line_id"), col("m._1").as("poly_id"), col("m._2").as("crossings"))
   }
 }
