@@ -80,6 +80,179 @@ final case class Cell(id: Long, face: Int, level: Int,
     }
   }
 
+  // ------------------------------------------------------------------
+  // Cell distance functions (cell.go:517-790) — tighter kNN/radius
+  // pruning bounds than cap coverings.
+
+  /** Project p into this face's (u,v,w) frame (stuv.go:312-328). */
+  private def toUVW(p: Vec3): Vec3 = face match {
+    case 0 => Vec3(p.y, p.z, p.x)
+    case 1 => Vec3(-p.x, p.z, p.y)
+    case 2 => Vec3(-p.x, -p.y, p.z)
+    case 3 => Vec3(-p.z, -p.y, -p.x)
+    case 4 => Vec3(-p.z, p.x, -p.y)
+    case _ => Vec3(p.y, p.x, -p.z)
+  }
+
+  private def vertexChordDist2(p: Vec3, xHi: Boolean, yHi: Boolean): Double = {
+    val x = if (xHi) uHi else uLo
+    val y = if (yHi) vHi else vLo
+    ChordAngle.between(p, Vec3(x, y, 1).normalize)
+  }
+
+  private def uEdgeIsClosest(p: Vec3, atVHi: Boolean): Boolean = {
+    val u0 = uLo; val u1 = uHi
+    val v = if (atVHi) vHi else vLo
+    val dir0 = Vec3(v * v + 1, -u0 * v, -u0)
+    val dir1 = Vec3(v * v + 1, -u1 * v, -u1)
+    p.dot(dir0) > 0 && p.dot(dir1) < 0
+  }
+
+  private def vEdgeIsClosest(p: Vec3, atUHi: Boolean): Boolean = {
+    val v0 = vLo; val v1 = vHi
+    val u = if (atUHi) uHi else uLo
+    val dir0 = Vec3(-u * v0, u * u + 1, -v0)
+    val dir1 = Vec3(-u * v1, u * u + 1, -v1)
+    p.dot(dir0) > 0 && p.dot(dir1) < 0
+  }
+
+  /** Chord distance from a point (given by its edge-normal dot product)
+    * to a cell edge (cell.go:563-577).
+    */
+  private def edgeDist(ij: Double, uv: Double): Double = {
+    val pq2 = (ij * ij) / (1 + uv * uv)
+    val qr = 1 - math.sqrt(1 - pq2)
+    pq2 + qr * qr
+  }
+
+  private def distanceInternal(targetXYZ: Vec3, toInterior: Boolean): Double = {
+    val t = toUVW(targetXYZ)
+    val dir00 = t.x - t.z * uLo
+    val dir01 = t.x - t.z * uHi
+    val dir10 = t.y - t.z * vLo
+    val dir11 = t.y - t.z * vHi
+    var inside = true
+    if (dir00 < 0) {
+      inside = false
+      if (vEdgeIsClosest(t, atUHi = false)) return edgeDist(-dir00, uLo)
+    }
+    if (dir01 > 0) {
+      inside = false
+      if (vEdgeIsClosest(t, atUHi = true)) return edgeDist(dir01, uHi)
+    }
+    if (dir10 < 0) {
+      inside = false
+      if (uEdgeIsClosest(t, atVHi = false)) return edgeDist(-dir10, vLo)
+    }
+    if (dir11 > 0) {
+      inside = false
+      if (uEdgeIsClosest(t, atVHi = true)) return edgeDist(dir11, vHi)
+    }
+    if (inside) {
+      if (toInterior) return 0.0
+      return math.min(math.min(edgeDist(-dir00, uLo), edgeDist(dir01, uHi)),
+        math.min(edgeDist(-dir10, vLo), edgeDist(dir11, vHi)))
+    }
+    math.min(
+      math.min(vertexChordDist2(t, xHi = false, yHi = false),
+        vertexChordDist2(t, xHi = true, yHi = false)),
+      math.min(vertexChordDist2(t, xHi = false, yHi = true),
+        vertexChordDist2(t, xHi = true, yHi = true)))
+  }
+
+  /** Chord distance to the point; 0 when inside (cell.go:643-647). */
+  def distance(target: Vec3): Double = distanceInternal(target, toInterior = true)
+
+  /** Chord distance from the boundary (cell.go:669-672). */
+  def boundaryDistance(target: Vec3): Double =
+    distanceInternal(target, toInterior = false)
+
+  /** Max chord distance from any cell point (cell.go:649-666). */
+  def maxDistance(target: Vec3): Double = {
+    val t = toUVW(target)
+    val maxDist = math.max(
+      math.max(vertexChordDist2(t, xHi = false, yHi = false),
+        vertexChordDist2(t, xHi = true, yHi = false)),
+      math.max(vertexChordDist2(t, xHi = false, yHi = true),
+        vertexChordDist2(t, xHi = true, yHi = true)))
+    if (maxDist <= ChordAngle.Right) return maxDist
+    ChordAngle.Straight - distance(target * -1)
+  }
+
+  /** Min chord distance to edge AB; 0 if AB intersects the cell
+    * (cell.go:674-712).
+    */
+  def distanceToEdge(a: Vec3, b: Vec3): Double = {
+    var minDist = math.min(distance(a), distance(b))
+    if (minDist == 0) return 0
+    val crosser = new EdgeCrosser(a, b)
+    crosser.restartAt(vertex(3))
+    var i = 0
+    while (i < 4) {
+      if (crosser.chainCrossingSign(vertex(i)) != EdgeCrossings.DoNotCross)
+        return 0
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      minDist = EdgeDistances.updateMinDistance(vertex(i), a, b, minDist)._1
+      i += 1
+    }
+    minDist
+  }
+
+  /** Max chord distance from the cell to edge AB (cell.go:714-726). */
+  def maxDistanceToEdge(a: Vec3, b: Vec3): Double = {
+    val maxDist = math.max(maxDistance(a), maxDistance(b))
+    if (maxDist <= ChordAngle.Right) return maxDist
+    ChordAngle.Straight - distanceToEdge(a * -1, b * -1)
+  }
+
+  /** Min chord distance between two cells; 0 when they intersect
+    * (cell.go:728-760).
+    */
+  def distanceToCell(target: Cell): Double = {
+    if (face == target.face &&
+      uLo <= target.uHi && target.uLo <= uHi &&
+      vLo <= target.vHi && target.vLo <= vHi) return 0
+    val va = Array.tabulate(4)(vertex)
+    val vb = Array.tabulate(4)(target.vertex)
+    var minDist = ChordAngle.Straight + 1 // "infinity"
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        minDist = EdgeDistances.updateMinDistance(va(i), vb(j), vb((j + 1) & 3), minDist)._1
+        minDist = EdgeDistances.updateMinDistance(vb(i), va(j), va((j + 1) & 3), minDist)._1
+        j += 1
+      }
+      i += 1
+    }
+    minDist
+  }
+
+  /** Max chord distance between two cells (cell.go:762-790). */
+  def maxDistanceToCell(target: Cell): Double = {
+    // Antipodal target uv is the transpose within the opposite face.
+    if (face == (target.face + 3) % 6 &&
+      uLo <= target.vHi && target.vLo <= uHi &&
+      vLo <= target.uHi && target.uLo <= vHi) return ChordAngle.Straight
+    val va = Array.tabulate(4)(vertex)
+    val vb = Array.tabulate(4)(target.vertex)
+    var maxDist = ChordAngle.Negative
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        maxDist = EdgeDistances.updateMaxDistance(va(i), vb(j), vb((j + 1) & 3), maxDist)._1
+        maxDist = EdgeDistances.updateMaxDistance(vb(i), va(j), va((j + 1) & 3), maxDist)._1
+        j += 1
+      }
+      i += 1
+    }
+    maxDist
+  }
+
   /** Bounding cap via the UV-center axis (cell.go:444-455). */
   def capBound: Cap = {
     var c = Cap.fromPoint(

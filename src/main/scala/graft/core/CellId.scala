@@ -250,6 +250,27 @@ object CellId {
   /** Decode id -> (face, i, j, orientation) (cellid.go:539-573).
     * Returns the packed result; use the fij* accessors.
     */
+  private def expandEndpoint(u: Double, maxV: Double, sinDist: Double): Double = {
+    val sinUShift = sinDist * math.sqrt((1 + u * u + maxV * maxV) / (1 + u * u))
+    val cosUShift = math.sqrt(1 - sinUShift * sinUShift)
+    // expansion of tan(atan(u) + asin(sinUShift))
+    (cosUShift * u + sinUShift) / (cosUShift - sinUShift * u)
+  }
+
+  /** Expand a (u,v) rectangle so it contains all points within the given
+    * sphere distance (radians) of its boundary; negative distances shrink
+    * (cellid.go:811-857). Used for tight radius pre-filters in UV space.
+    * Returns (uLo, uHi, vLo, vHi).
+    */
+  def expandedByDistanceUV(uLo: Double, uHi: Double, vLo: Double, vHi: Double,
+                           distanceRad: Double): (Double, Double, Double, Double) = {
+    val maxU = math.max(math.abs(uLo), math.abs(uHi))
+    val maxV = math.max(math.abs(vLo), math.abs(vHi))
+    val sinDist = math.sin(distanceRad)
+    (expandEndpoint(uLo, maxV, -sinDist), expandEndpoint(uHi, maxV, sinDist),
+      expandEndpoint(vLo, maxU, -sinDist), expandEndpoint(vHi, maxU, sinDist))
+  }
+
   /** The cell's i index at its own or a coarser level: every leaf in a
     * level-k cell shares the same top-k bits of (i, j), so decoding any
     * leaf (rangeMin here) and shifting yields the level-k grid index

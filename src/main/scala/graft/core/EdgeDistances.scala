@@ -109,4 +109,49 @@ object EdgeDistances {
     best = updateMinDistance(b1, a0, a1, best)._1
     best
   }
+
+  /** Max distance between edge pairs; Pi when one edge crosses the
+    * antipodal reflection of the other (edge_distances.go:358-377).
+    */
+  def edgePairMaxDistance(a0: Vec3, a1: Vec3, b0: Vec3, b1: Vec3): Double = {
+    if (EdgeCrossings.crossingSign(a0, a1, b0 * -1, b1 * -1) == EdgeCrossings.Cross)
+      return ChordAngle.Straight
+    var best = 0.0
+    best = updateMaxDistance(a0, b0, b1, best)._1
+    best = updateMaxDistance(a1, b0, b1, best)._1
+    best = updateMaxDistance(b0, a0, a1, best)._1
+    best = updateMaxDistance(b1, a0, a1, best)._1
+    best
+  }
+
+  /** The pair of points (on a0a1, on b0b1) achieving the minimum edge-pair
+    * distance; both equal the intersection when the edges cross
+    * (edge_distances.go:380-419).
+    */
+  def edgePairClosestPoints(a0: Vec3, a1: Vec3, b0: Vec3, b1: Vec3): (Vec3, Vec3) = {
+    if (EdgeCrossings.crossingSign(a0, a1, b0, b1) == EdgeCrossings.Cross) {
+      val x = EdgeIntersections.intersection(a0, a1, b0, b1)
+      return (x, x)
+    }
+    var minDist = updateMinDistance(a0, b0, b1, 0.0, alwaysUpdate = true)._1
+    var closestVertex = 0
+    locally {
+      val (d, ok) = updateMinDistance(a1, b0, b1, minDist)
+      if (ok) { minDist = d; closestVertex = 1 }
+    }
+    locally {
+      val (d, ok) = updateMinDistance(b0, a0, a1, minDist)
+      if (ok) { minDist = d; closestVertex = 2 }
+    }
+    locally {
+      val (_, ok) = updateMinDistance(b1, a0, a1, minDist)
+      if (ok) closestVertex = 3
+    }
+    closestVertex match {
+      case 0 => (a0, project(a0, b0, b1))
+      case 1 => (a1, project(a1, b0, b1))
+      case 2 => (project(b0, a0, a1), b0)
+      case _ => (project(b1, a0, a1), b1)
+    }
+  }
 }

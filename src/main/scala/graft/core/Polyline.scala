@@ -4,6 +4,26 @@ package graft.core
   * (/root/reference/s2/polyline.go:29-639, polyline_measures.go:28-68).
   */
 final class Polyline(val vertices: Array[Vec3]) extends S2Region {
+
+  /** Minimum squared-chord distance to another polyline over all edge
+    * pairs (edge_distances.go:334-356 applied chain x chain); 0 when the
+    * chains cross.
+    */
+  def distanceToPolyline(o: Polyline): Double = {
+    var best = ChordAngle.Straight
+    var i = 1
+    while (i < vertices.length && best > 0) {
+      var j = 1
+      while (j < o.vertices.length && best > 0) {
+        val d = EdgeDistances.edgePairMinDistance(
+          vertices(i - 1), vertices(i), o.vertices(j - 1), o.vertices(j))
+        if (d < best) best = d
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
   require(vertices.length >= 1)
 
   def numEdges: Int = math.max(0, vertices.length - 1)
