@@ -321,11 +321,11 @@ object SparkEntry {
     // Exact n-gram Jaccard near-dup pairs over documents + planted
     // mutated copies (doc_id + 100000, one appended token).
     "q_ngram_jaccard" -> ((s, dir) => {
-      // all-pairs is quadratic: bound the fixture subset so larger SFs
-      // stay cheap (sf0.01 has 500 docs -> unaffected; the LSH query is
-      // the scale path)
+      // all-pairs is quadratic: bound the fixture subset so the exact
+      // oracle path stays cheap at every SF (the LSH query is the scale
+      // path; this one exists to be exactly SQL-checkable)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < 500)
+        .filter(col("doc_id") < 250)
         .select(col("doc_id"), col("text"))
       val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graftdupmarker")).as("text"))
@@ -685,9 +685,10 @@ object SparkEntry {
       "q_ngram_jaccard" ->
         s"""WITH docs AS (
            |  SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')
+           |  WHERE doc_id < 250
            |  UNION ALL
            |  SELECT doc_id + 100000, text || ' graftdupmarker'
-           |  FROM read_parquet('$oracleSf/documents.parquet')
+           |  FROM read_parquet('$oracleSf/documents.parquet') WHERE doc_id < 250
            |), grams AS (
            |  SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
            |    for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))]) AS g
