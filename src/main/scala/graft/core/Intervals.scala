@@ -34,6 +34,15 @@ final case class R1Interval(lo: Double, hi: Double) {
     R1Interval(math.max(lo, o.lo), math.min(hi, o.hi))
 
   def clampPoint(p: Double): Double = math.max(lo, math.min(hi, p))
+
+  /** Directed Hausdorff distance to another interval
+    * (/root/reference/r1/interval.go:170-178).
+    */
+  def directedHausdorffDistance(o: R1Interval): Double = {
+    if (isEmpty) return 0
+    if (o.isEmpty) return Double.PositiveInfinity
+    math.max(0, math.max(hi - o.hi, o.lo - lo))
+  }
 }
 
 object R1Interval {
@@ -142,6 +151,38 @@ final case class S1Interval(lo: Double, hi: Double) {
       else if (positiveDistance(p, lo) < positiveDistance(hi, p)) S1Interval(p, hi)
       else S1Interval(lo, p)
     }
+  }
+
+  /** Complement interval; singletons complement to full
+    * (/root/reference/s1/interval.go:393-400).
+    */
+  def complement: S1Interval =
+    if (lo == hi) S1Interval.full else S1Interval(hi, lo)
+
+  /** Center of the complement; antipodal point for singletons
+    * (s1/interval.go:405-414).
+    */
+  def complementCenter: Double = {
+    if (lo != hi) complement.center
+    else if (hi <= 0) hi + math.Pi
+    else hi - math.Pi
+  }
+
+  /** Directed Hausdorff distance h(this, y) on the circle
+    * (s1/interval.go:416-446).
+    */
+  def directedHausdorffDistance(y: S1Interval): Double = {
+    if (y.containsInterval(this)) return 0
+    if (y.isEmpty) return math.Pi
+    val yCC = y.complementCenter
+    if (contains(yCC)) return S1Interval.positiveDistance(y.hi, yCC)
+    var hiHi = 0.0
+    if (S1Interval.fromEndpoints(y.hi, yCC).contains(hi))
+      hiHi = S1Interval.positiveDistance(y.hi, hi)
+    var loLo = 0.0
+    if (S1Interval.fromEndpoints(yCC, y.lo).contains(lo))
+      loLo = S1Interval.positiveDistance(lo, y.lo)
+    math.max(hiHi, loLo)
   }
 
   def expanded(margin: Double): S1Interval = {

@@ -52,10 +52,102 @@ final case class SphereRect(lat: R1Interval, lng: S1Interval) {
     if (lat.lo == -math.Pi / 2 || lat.hi == math.Pi / 2)
       SphereRect(lat, S1Interval.full)
     else this
+
+  /** Minimum surface distance (radians) from a point to the rect's
+    * boundary+interior (rect.go:466-483).
+    */
+  def distanceToLatLng(latRad: Double, lngRad: Double): Double = {
+    if (lng.contains(lngRad))
+      return math.max(0, math.max(latRad - lat.hi, lat.lo - latRad))
+    val i = S1Interval.fromEndpoints(lng.hi, lng.complementCenter)
+    val rectLng = if (i.contains(lngRad)) lng.hi else lng.lo
+    val p = LatLng.toPoint(latRad, lngRad)
+    val lo = LatLng.toPoint(lat.lo, rectLng)
+    val hi = LatLng.toPoint(lat.hi, rectLng)
+    EdgeDistances.distanceFromSegment(p, lo, hi)
+  }
+
+  /** Directed Hausdorff distance h(this, other) in radians
+    * (rect.go:489-501).
+    */
+  def directedHausdorffDistance(other: SphereRect): Double = {
+    if (isEmpty) return 0
+    if (other.isEmpty) return math.Pi
+    val lngDiff = lng.directedHausdorffDistance(other.lng)
+    SphereRect.directedHausdorffLat(lngDiff, lat, other.lat)
+  }
+
+  /** Undirected Hausdorff distance (rect.go:503-510). */
+  def hausdorffDistance(other: SphereRect): Double =
+    math.max(directedHausdorffDistance(other),
+      other.directedHausdorffDistance(this))
 }
 
 object SphereRect {
   private[core] val validLat = R1Interval(-math.Pi / 2, math.Pi / 2)
+
+  /** Directed Hausdorff distance from a longitudinal edge spanning
+    * latitudes `a` to another spanning `b`, separated by lngDiff
+    * (rect.go:521-601): cases split by which Voronoi regions of edge b
+    * the longitude-0 line intersects.
+    */
+  private[core] def directedHausdorffLat(lngDiff: Double, a: R1Interval,
+                                         b: R1Interval): Double = {
+    require(lngDiff >= 0 && lngDiff <= math.Pi, "bad lngDiff")
+    if (lngDiff == 0) return a.directedHausdorffDistance(b)
+
+    val bLng = lngDiff
+    val bLo = LatLng.toPoint(b.lo, bLng)
+    val bHi = LatLng.toPoint(b.hi, bLng)
+    val aLo = LatLng.toPoint(a.lo, 0)
+    val aHi = LatLng.toPoint(a.hi, 0)
+    var maxDistance = math.max(
+      EdgeDistances.distanceFromSegment(aLo, bLo, bHi),
+      EdgeDistances.distanceFromSegment(aHi, bLo, bHi))
+
+    if (lngDiff <= math.Pi / 2) {
+      if (a.contains(0) && b.contains(0))
+        maxDistance = math.max(maxDistance, lngDiff)
+      return maxDistance
+    }
+
+    val p = bisectorIntersection(b, bLng)
+    val pLat = LatLng.latitude(p)
+    if (a.contains(pLat))
+      maxDistance = math.max(maxDistance, p.angle(bLo))
+    if (pLat > a.lo) {
+      interiorMaxDistance(R1Interval(a.lo, math.min(pLat, a.hi)), bLo)
+        .foreach(d => maxDistance = math.max(maxDistance, d))
+    }
+    if (pLat < a.hi) {
+      interiorMaxDistance(R1Interval(math.max(pLat, a.lo), a.hi), bHi)
+        .foreach(d => maxDistance = math.max(maxDistance, d))
+    }
+    maxDistance
+  }
+
+  /** Max distance from b to the lat range aLat on longitude 0 when the
+    * max is interior (rect.go:603-620).
+    */
+  private def interiorMaxDistance(aLat: R1Interval, b: Vec3): Option[Double] = {
+    if (aLat.isEmpty || b.x >= 0) return None
+    val ip = Vec3(-b.x, 0, -b.z).normalize
+    if (!aLat.interiorContains(LatLng.latitude(ip))) None
+    else Some(b.angle(ip))
+  }
+
+  /** Intersection of longitude 0 with the bisector of an edge on
+    * longitude lng spanning latitudes lat (rect.go:622-640).
+    */
+  private def bisectorIntersection(lat: R1Interval, lng0: Double): Vec3 = {
+    val lng = math.abs(lng0)
+    val latCenter = lat.center
+    val orthoBisector =
+      if (latCenter < 0) LatLng.toPoint(-latCenter - math.Pi / 2, lng - math.Pi)
+      else LatLng.toPoint(latCenter - math.Pi / 2, lng)
+    val orthoLng = Vec3(0, -1, 0)
+    EdgeCrossings.pointCross(orthoLng, orthoBisector).normalize
+  }
   val empty: SphereRect = SphereRect(R1Interval.empty, S1Interval.empty)
   val full: SphereRect = SphereRect(validLat, S1Interval.full)
 
