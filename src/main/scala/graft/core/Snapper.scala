@@ -159,13 +159,80 @@ object Codec {
   }
   def decodeLoop(bytes: Array[Byte]): Loop = decodeLoopFrom(rd(bytes))
 
-  // Polygon (lossless v1): version + legacy true + hasHoles + uint32
-  // numLoops + loops + bound (polygon.go encodeLossless). The empty/full
-  // special cases use the compressed v4 format in the reference and are
-  // rejected here.
+  // --- compressed (v4/v2) formats -----------------------------------
+  private val PolygonCompressedVersion: Byte = 4
+  import PointCompression.{Enc, Dec, XyzFaceSiTi}
+
+  private val OriginInsideBit = 1L
+  private val BoundEncodedBit = 2L
+  private val MinVerticesForBound = 64
+
+  /** Loop compressed block (no leading version byte; loop.go:1335-1354):
+    * uvarint n, compressed points, uvarint props, uvarint depth,
+    * optional bound.
+    */
+  def encodeLoopCompressed(e: Enc, l: Loop, snapLevel: Int,
+                           vs: Array[XyzFaceSiTi]): Unit = {
+    e.writeUvarint(l.numVertices.toLong)
+    PointCompression.encodePointsCompressed(e, vs, snapLevel)
+    var props = 0L
+    if (l.originInside) props |= OriginInsideBit
+    if (l.numVertices >= MinVerticesForBound) props |= BoundEncodedBit
+    e.writeUvarint(props)
+    e.writeUvarint(l.depth.toLong)
+    if ((props & BoundEncodedBit) != 0) {
+      // Rect encode: version + 4 doubles (rect.go:439-445).
+      e.writeByte(Version)
+      e.writeFloat64(l.bound.lat.lo); e.writeFloat64(l.bound.lat.hi)
+      e.writeFloat64(l.bound.lng.lo); e.writeFloat64(l.bound.lng.hi)
+    }
+  }
+
+  def decodeLoopCompressed(d: Dec, snapLevel: Int): Loop = {
+    val n = d.readUvarint().toInt
+    val verts = PointCompression.decodePointsCompressed(d, snapLevel, n)
+    val props = d.readUvarint()
+    val loop = Loop.fromPoints(verts)
+    require(loop.originInside == ((props & OriginInsideBit) != 0),
+      "origin parity mismatch on compressed decode")
+    loop.depth = d.readUvarint().toInt
+    if ((props & BoundEncodedBit) != 0) {
+      require(d.readByte() == Version, "bad bound version")
+      d.readFloat64(); d.readFloat64(); d.readFloat64(); d.readFloat64()
+    }
+    loop
+  }
+
+  /** Polygon encode with the reference's dispatch (polygon.go:1042-1084):
+    * vertices snap-tested; compressed v4 when the size estimate wins
+    * (and always for the 0-loop empty polygon), lossless v1 otherwise.
+    */
   def encodePolygon(p: Polygon): Array[Byte] = {
-    require(p.loops.nonEmpty && p.loops.exists(_.numVertices > 1),
-      "empty/full polygons use the compressed format (not implemented)")
+    val numVertices = p.loops.map(_.numVertices).sum
+    if (numVertices == 0) return encodePolygonCompressed(p, CellId.MaxLevel,
+      Array.empty)
+
+    val vs = p.loops.flatMap(l =>
+      l.vertices.map(PointCompression.xyzToFaceSiTi)).toArray
+    val histogram = new Array[Int](CellId.MaxLevel + 2)
+    vs.foreach(v => histogram(v.level + 1) += 1)
+    var snapLevel = 0
+    var numSnapped = 0
+    for (level <- 0 to CellId.MaxLevel) {
+      if (histogram(level + 1) > numSnapped) {
+        snapLevel = level
+        numSnapped = histogram(level + 1)
+      }
+    }
+    val numUnsnapped = numVertices - numSnapped
+    val pointSize = 3 * 8
+    val compressedSize = 4 * numVertices + (pointSize + 2) * numUnsnapped
+    val losslessSize = pointSize * numVertices
+    if (compressedSize < losslessSize) encodePolygonCompressed(p, snapLevel, vs)
+    else encodePolygonLossless(p)
+  }
+
+  private def encodePolygonLossless(p: Polygon): Array[Byte] = {
     val total = 1 + 1 + 1 + 4 + p.loops.map(loopEncodedSize).sum + 33
     val b = buf(total)
     b.put(Version)
@@ -176,9 +243,34 @@ object Codec {
     encodeRectInto(b, p.bound)
     b.array()
   }
+
+  private def encodePolygonCompressed(p: Polygon, snapLevel: Int,
+                                      vs: Array[XyzFaceSiTi]): Array[Byte] = {
+    val e = new Enc
+    e.writeByte(PolygonCompressedVersion)
+    e.writeByte(snapLevel)
+    e.writeUvarint(p.loops.length.toLong)
+    var offset = 0
+    p.loops.foreach { l =>
+      encodeLoopCompressed(e, l, snapLevel,
+        vs.slice(offset, offset + l.numVertices))
+      offset += l.numVertices
+    }
+    e.toBytes
+  }
+
   def decodePolygon(bytes: Array[Byte]): Polygon = {
+    val version = bytes(0)
+    if (version == PolygonCompressedVersion) {
+      val d = new Dec(bytes, 1)
+      val snapLevel = d.readByte()
+      require(snapLevel <= CellId.MaxLevel, "snap level too big")
+      val n = d.readUvarint().toInt
+      val loops = Array.fill(n)(decodeLoopCompressed(d, snapLevel))
+      return new Polygon(loops)
+    }
     val b = rd(bytes)
-    require(b.get() == Version, "bad version (compressed v4 not supported)")
+    require(b.get() == Version, "bad version")
     b.get() // legacy
     b.get() // hasHoles (recomputed)
     val n = b.getInt

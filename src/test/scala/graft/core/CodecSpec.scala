@@ -89,6 +89,81 @@ class CodecSpec extends AnyFunSuite {
     assert(rt.loops(1).depth === 1)
   }
 
+  test("compressed loop golden: decode + re-encode (encode_test.go:262-293)") {
+    val goldenHex = "041B02222082A222A806A0C7A991DE86D905D7C3A691F2DEE40383908880A0958805000003"
+    val bytes = goldenHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val d = new PointCompression.Dec(bytes)
+    val loop = Codec.decodeLoopCompressed(d, CellId.MaxLevel)
+    val want = Seq((0.0, 178.0), (-1.0, 180.0), (0.0, -179.0), (1.0, -180.0))
+    assert(loop.numVertices === 4)
+    for ((v, (la, ln)) <- loop.vertices.zip(want)) {
+      assert(math.abs(LatLng.latitude(v) * LatLng.RadToDeg - la) < 1e-7)
+      assert(math.abs(math.IEEEremainder(
+        LatLng.longitude(v) * LatLng.RadToDeg - ln, 360)) < 1e-7)
+    }
+    val e = new PointCompression.Enc
+    Codec.encodeLoopCompressed(e, loop, CellId.MaxLevel,
+      loop.vertices.map(PointCompression.xyzToFaceSiTi))
+    assert(hex(e.toBytes) === goldenHex)
+  }
+
+  test("compressed polygon goldens: empty and full (encode_test.go:99-102)") {
+    assert(hex(Codec.encodePolygon(Polygon.empty)) === "041E00")
+    assert(hex(Codec.encodePolygon(Polygon.full)) === "040001010B000100")
+    assert(Codec.decodePolygon(Codec.encodePolygon(Polygon.empty)).numLoops === 0)
+    val full = Codec.decodePolygon(Codec.encodePolygon(Polygon.full))
+    assert(full.numLoops === 1 && full.loops(0).isFull)
+  }
+
+  test("snapped polygons choose the compressed format and round trip") {
+    // Loops whose vertices are exact level-12 cell centers: the encoder
+    // must pick v4 and decode must reproduce the vertices exactly.
+    def snappedLoop(latDeg: Double, lngDeg: Double, n: Int): Loop = {
+      val base = CellId.parent(CellId.fromLatLngDegrees(latDeg, lngDeg), 12)
+      var cells = List(base)
+      var cur = base
+      for (_ <- 1 until n) { cur = CellId.next(cur); cells ::= cur }
+      // cell centers in a CCW-ish ring: just use distinct centers (any
+      // simple chain works for codec purposes)
+      Loop.fromPoints(cells.reverse.map(c => CellId.toPoint(c)).toArray)
+    }
+    val p = Polygon.fromLoops(Seq(snappedLoop(40.7, -74.0, 8)))
+    val enc = Codec.encodePolygon(p)
+    assert(enc(0) === 4.toByte, "snapped polygon must use the v4 format")
+    val rt = Codec.decodePolygon(enc)
+    assert(rt.loops(0).vertices.toSeq === p.loops(0).vertices.toSeq)
+
+    // Unsnapped (random) vertices must stay lossless v1 and round trip.
+    val q = Polygon.fromLoops(Seq(Loop.regularLoop(
+      LatLng.toPointDegrees(40.7, -74.0), 0.01, 16)))
+    val encQ = Codec.encodePolygon(q)
+    assert(encQ(0) === 1.toByte, "unsnapped polygon must stay lossless")
+    assert(Codec.decodePolygon(encQ).loops(0).vertices.toSeq ===
+      q.loops(0).vertices.toSeq)
+  }
+
+  test("interleave and nth-derivative primitives round trip") {
+    val rng = new scala.util.Random(99)
+    for (_ <- 0 until 2000) {
+      val x = rng.nextInt() & 0xFFFFFFFFL
+      val y = rng.nextInt() & 0xFFFFFFFFL
+      val (gx, gy) = PointCompression.deinterleaveUint32(
+        PointCompression.interleaveUint32(x, y))
+      assert(gx === x && gy === y)
+    }
+    for (_ <- 0 until 200) {
+      val values = Array.fill(50)(rng.nextInt())
+      val enc = new PointCompression.NthDerivativeCoder(2)
+      val dec = new PointCompression.NthDerivativeCoder(2)
+      val coded = values.map(enc.encode)
+      assert(coded.map(dec.decode).toSeq === values.toSeq)
+    }
+    for (_ <- 0 until 2000) {
+      val v = rng.nextInt()
+      assert(PointCompression.zigzagDecode(PointCompression.zigzagEncode(v)) === v)
+    }
+  }
+
   test("Polyline wire golden + round trip (encode_test.go:111)") {
     assert(hex(Codec.encodePolylinePoints(Array.empty[Vec3])) === "0100000000")
     assert(Codec.decodePolylinePoints(
