@@ -299,4 +299,31 @@ object Codec {
   def encodePolyline(p: Polyline): Array[Byte] = encodePolylinePoints(p.vertices)
   def decodePolyline(bytes: Array[Byte]): Polyline =
     new Polyline(decodePolylinePoints(bytes))
+
+  // Polyline compressed (v2): version + snapLevel + uvarint n +
+  // compressed points (polyline.go:372-390).
+  private val PolylineCompressedVersion: Byte = 2
+
+  def encodePolylineCompressed(vs: Array[Vec3], snapLevel: Int): Array[Byte] = {
+    val e = new Enc
+    e.writeByte(PolylineCompressedVersion)
+    e.writeByte(snapLevel)
+    e.writeUvarint(vs.length.toLong)
+    PointCompression.encodePointsCompressed(e,
+      vs.map(PointCompression.xyzToFaceSiTi), snapLevel)
+    e.toBytes
+  }
+
+  /** Decode either polyline wire version (v1 lossless / v2 compressed). */
+  def decodePolylineAnyVersion(bytes: Array[Byte]): Array[Vec3] = {
+    bytes(0) match {
+      case PolylineCompressedVersion =>
+        val d = new Dec(bytes, 1)
+        val snapLevel = d.readByte()
+        val n = d.readUvarint().toInt
+        PointCompression.decodePointsCompressed(d, snapLevel, n)
+      case Version => decodePolylinePoints(bytes)
+      case v => throw new IllegalArgumentException(s"bad polyline version $v")
+    }
+  }
 }

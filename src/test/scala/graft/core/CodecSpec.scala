@@ -173,6 +173,24 @@ class CodecSpec extends AnyFunSuite {
     assert(rt.vertices.toSeq === pl.vertices.toSeq)
   }
 
+  test("compressed polyline v2 round trips snapped and unsnapped chains") {
+    // snapped: level-10 cell centers
+    val snapped = (0 until 20).scanLeft(
+      CellId.parent(CellId.fromLatLngDegrees(35.6, 139.6), 10))((c, _) =>
+      CellId.next(c)).map(CellId.toPoint).toArray
+    val enc = Codec.encodePolylineCompressed(snapped, 10)
+    assert(enc(0) === 2.toByte)
+    assert(Codec.decodePolylineAnyVersion(enc).toSeq === snapped.toSeq)
+    // unsnapped points ride as exact exceptions
+    val raw = Array(
+      LatLng.toPointDegrees(1.234, 5.678), LatLng.toPointDegrees(2.3, 6.7))
+    val enc2 = Codec.encodePolylineCompressed(raw, 10)
+    assert(Codec.decodePolylineAnyVersion(enc2).toSeq === raw.toSeq)
+    // v1 passes through the same decoder
+    assert(Codec.decodePolylineAnyVersion(
+      Codec.encodePolylinePoints(raw)).toSeq === raw.toSeq)
+  }
+
   test("Rect wire goldens (encode_test.go:134-138)") {
     val cases = Seq(
       "01000000000000F03F0000000000000000182D4454FB210940182D4454FB2109C0" ->
