@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface for the spatial engine: continuous cell
   * aggregation of a geotagged event stream with event-time watermarks.
@@ -31,6 +32,69 @@ object StreamingCells {
       .select(col("window.start").as("window_start"),
         S2.token(col("cell")).as("cell_token"), col("n_events"))
   }
+
+  /** A closed per-cell activity session emitted when no event arrives in
+    * a cell for the gap duration.
+    */
+  final case class CellSession(cell_token: String, n_events: Long,
+                               first_ts: Long, last_ts: Long)
+
+  /** Custom streaming state via flatMapGroupsWithState: sessionize an
+    * event stream by coarse cell. State per cell = (count, first, last);
+    * an event extends the session and re-arms an event-time timeout at
+    * last + gap; when the watermark passes it, the closed session is
+    * emitted and state dropped — bounded state on an infinite stream,
+    * the KeyValueGroupedDataset pattern the engine uses wherever
+    * windowed aggregation can't express the semantics.
+    */
+  def cellSessions(events: DataFrame, level: Int,
+                   gapMillis: Long = 10 * 60 * 1000L,
+                   watermarkDelay: String = "5 minutes"): Dataset[CellSession] = {
+    import graft.functions.S2
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Keep the watermarked event-time column intact through the
+    // grouping (casting it would drop the watermark attribute).
+    val keyed = events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("cell", S2.parent(S2.cellId(col("lat"), col("lng")), lit(level)))
+      .select(col("cell"), col("ts")).as[(Long, java.sql.Timestamp)]
+
+    def update(cell: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+               state: GroupState[(Long, Long, Long)]): Iterator[CellSession] = {
+      if (state.hasTimedOut) {
+        val (n, first, last) = state.get
+        state.remove()
+        Iterator.single(CellSession(graft.core.CellId.toToken(cell), n,
+          first / 1000, last / 1000))
+      } else {
+        var (n, first, last) =
+          state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+        rows.foreach { case (_, ts) =>
+          n += 1
+          first = math.min(first, ts.getTime)
+          last = math.max(last, ts.getTime)
+        }
+        state.update((n, first, last))
+        state.setTimeoutTimestamp(last + gapMillis)
+        Iterator.empty
+      }
+    }
+
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Stream-static spatial enrichment: tag each streaming event with the
+    * polygons containing it. The broadcast covering index + native probe
+    * expression run unchanged inside the streaming plan (map-only, no
+    * stream state), so this costs the same as the batch PIP join per
+    * micro-batch.
+    */
+  def streamingPipEnrich(spark: SparkSession, events: DataFrame,
+                         polygons: Seq[(Long, graft.core.Loop)]): DataFrame =
+    graft.ops.SpatialJoin.pipJoin(spark, events, polygons)
 
   /** Streaming near-dup screen: incremental exact-hash dedup of a text
     * stream keyed by fingerprint. dropDuplicatesWithinWatermark lets the

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make the full s2_* SQL surface available in a
+  * session built with spark.sql.extensions — the spark-submit deployment
+  * path, with no driver-side registration code.
+  *
+  * This spec owns its session lifecycle: it stops whatever shared
+  * session exists and leaves a clean slate (suites run serially).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions injects every s2_* function") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val tok = spark.sql(
+        "SELECT s2_token(s2_parent(s2_cellid(48.8566d, 2.3522d), 6))")
+        .collect()(0).getString(0)
+      val want = graft.core.CellId.toToken(graft.core.CellId.parent(
+        graft.core.CellId.fromLatLngDegrees(48.8566, 2.3522), 6))
+      assert(tok === want)
+
+      val row = spark.sql(
+        """SELECT s2_face(s2_cellid(0.0d, 0.0d)),
+          |  s2_level(s2_parent(s2_cellid(1.0d, 2.0d), 12)),
+          |  size(s2_neighbors(s2_parent(s2_cellid(1.0d, 2.0d), 10), 10)),
+          |  tile_x(2.3522d, 12), tile_y(48.8566d, 12),
+          |  geo_lat('x geo:48.85,2.35 y'),
+          |  s2_distance(0.0d, 0.0d, 0.0d, 90.0d)""".stripMargin).collect()(0)
+      assert(row.getInt(0) === 0)
+      assert(row.getInt(1) === 12)
+      assert(row.getInt(2) === 8)
+      assert(row.getLong(3) === graft.core.WebMercator.tileX(2.3522, 12))
+      assert(row.getLong(4) === graft.core.WebMercator.tileY(48.8566, 12))
+      assert(math.abs(row.getDouble(5) - 48.85) < 1e-12)
+      assert(math.abs(row.getDouble(6) - math.Pi / 2) < 1e-12)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

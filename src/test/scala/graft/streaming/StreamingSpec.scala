@@ -59,6 +59,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(byToken(nyTok) === 1)
   }
 
+  test("cell sessions: custom state closes on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val events = input.toDF().toDF("ts", "lat", "lng")
+    val sessions = StreamingCells.cellSessions(events, level = 6,
+      gapMillis = 10 * 60 * 1000L, watermarkDelay = "1 minute")
+    val query = sessions.writeStream
+      .format("memory").queryName("cell_sessions").outputMode("append").start()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:04:00")
+    input.addData((t0, 48.8566, 2.3522), (t1, 48.8570, 2.3530))
+    query.processAllAvailable()
+    // no session closed yet (watermark has not passed last + gap)
+    assert(spark.sql("select * from cell_sessions").count() === 0)
+
+    // push the watermark far past the session gap
+    input.addData((java.sql.Timestamp.valueOf("2026-01-01 02:00:00"), 0.0, 0.0))
+    query.processAllAvailable()
+    input.addData((java.sql.Timestamp.valueOf("2026-01-01 03:00:00"), 0.0, 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.sql("select * from cell_sessions").collect()
+    val parisTok = graft.core.CellId.toToken(
+      graft.core.CellId.parent(graft.core.CellId.fromLatLngDegrees(48.8566, 2.3522), 6))
+    val paris = out.filter(_.getString(0) == parisTok)
+    assert(paris.length === 1, s"expected one closed Paris session, got ${out.toSeq}")
+    assert(paris(0).getLong(1) === 2)
+    assert(paris(0).getLong(3) - paris(0).getLong(2) === 180L)
+  }
+
+  test("stream-static PIP enrichment tags events with containing polygons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val events = input.toDF().toDF("ts", "lat", "lng")
+    val enriched = StreamingCells.streamingPipEnrich(spark, events,
+      graft.SparkEntry.cityPolygons)
+    val query = enriched.writeStream
+      .format("memory").queryName("pip_enriched").outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    input.addData((t, 48.8566, 2.3522), (t, 0.0, -160.0)) // Paris, mid-ocean
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.sql("select lat, poly_id from pip_enriched").collect()
+    assert(out.length === 1, "only the Paris event matches a polygon")
+    assert(out(0).getLong(1) === 7L) // Paris is city index 7
+  }
+
   test("streaming dedup drops same-fingerprint docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
