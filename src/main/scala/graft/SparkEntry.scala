@@ -393,6 +393,16 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // ANN scale path 2: IVF inverted lists (coarse quantizer + nProbe
+    // probing; rows-only check, recall asserted in DedupSpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.ivfTopK(s, emb, queries, k = 3)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // Multimodal: decode + feature extraction over binary media payloads
     // (stub codec, real batch plumbing; rows-only).
     "q_multimodal" -> ((s, dir) => {

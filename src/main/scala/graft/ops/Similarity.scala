@@ -56,6 +56,70 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into nCentroids inverted lists (one shuffle keyed by centroid);
+    * each query probes its nProbe nearest centroids and re-ranks exactly
+    * inside those lists — candidate work is O(corpus * nProbe /
+    * nCentroids) per query instead of O(corpus).
+    *
+    * The quantizer is deterministic (the nCentroids lowest-id corpus
+    * vectors): k-means would tighten recall but costs iterations; the
+    * plan shape — bounded centroid broadcast, single corpus assignment
+    * pass, per-query probe fan-out — is identical.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    val centroids = corpus
+      .select(col(corpusId), col(corpusVec))
+      .orderBy(col(corpusId))
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+
+    val assignUdf = udf((v: Seq[Float]) => {
+      val vec = v.toArray
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < bc.value.length) {
+        val s = cosine(vec, bc.value(c))
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Float]) => {
+      val vec = v.toArray
+      bc.value.indices.map(c => (c, cosine(vec, bc.value(c))))
+        .sortBy(-_._2).take(nProbe).map(_._1)
+    })
+
+    val lists = corpus.withColumn("centroid", assignUdf(col(corpusVec)))
+      .select(col("centroid"), col(corpusId), col(corpusVec))
+    val probes = queries.withColumn("centroid", explode(probeUdf(col(queryVec))))
+      .select(col("centroid"), col(queryId), col(queryVec))
+
+    val candidates = probes.join(lists, "centroid")
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cosine", Dedup.cosineCol(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k via hyperplane LSH banding + exact re-rank of candidates.
     * Approximate: recall measured against bruteForceTopK in tests.
     */

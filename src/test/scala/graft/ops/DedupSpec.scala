@@ -113,6 +113,34 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.count() === 64L * 63 / 2, "simhash bucket join capped")
   }
 
+  test("IVF ANN finds near-duplicate neighbors and keeps sane recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val perturbed = emb.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN x * CAST(1.02 AS FLOAT) ELSE x * CAST(0.98 AS FLOAT) END AS FLOAT))")
+        .as("embedding"))
+    val corpus = emb.unionByName(perturbed)
+    val queries = perturbed.filter(col("vec_id") < 100050)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Similarity.ivfTopK(spark, corpus, queries, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a perturbed copy and its original quantize to the same centroid
+    // (cosine ~0.9996), so near-dup recall must be essentially perfect
+    val hits = (100000L until 100050L).count(q => ivf.get(q).contains(q - 100000))
+    assert(hits >= 48, s"IVF near-dup recall $hits/50 too low")
+
+    // against brute force on far-apart random vectors recall is partial
+    // but must be well above chance
+    val q2 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(emb, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, emb, q2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall collapsed")
+  }
+
   test("ngram jaccard matches hand-computed value") {
     assert(Dedup.ngramJaccard("a b c d", "a b c d", 3) === 1.0)
     // "a b c d e" 3-grams: {abc, bcd, cde}; "a b c d x": {abc, bcd, cdx}
