@@ -25,19 +25,25 @@ object CellId {
   final val Sentinel: Long = -1L
 
   private final val LookupBits = 4
-  private final val SwapMask = 0x01
-  private final val InvertMask = 0x02
+  private[core] final val SwapMask = 0x01
+  private[core] final val InvertMask = 0x02
 
   // posToIJ(orientation)(pos) = ij, ijToPos(orientation)(ij) = pos
   // (cellid.go:696-708)
-  private val posToIJ: Array[Array[Int]] = Array(
+  private[core] val posToIJ: Array[Array[Int]] = Array(
     Array(0, 1, 3, 2),
     Array(0, 2, 3, 1),
     Array(3, 2, 0, 1),
     Array(3, 1, 0, 2)
   )
-  private val posToOrientation: Array[Int] =
+  private[core] val posToOrientation: Array[Int] =
     Array(SwapMask, 0, 0, InvertMask | SwapMask)
+
+  private[core] val ijToPos: Array[Array[Int]] = posToIJ.map { row =>
+    val inv = new Array[Int](4)
+    for (pos <- 0 until 4) inv(row(pos)) = pos
+    inv
+  }
 
   // 10-bit-keyed Hilbert lookup tables (cellid.go:680-738). 2 KB each,
   // cache-resident; built once at class-init, identical to the reference's.

@@ -170,6 +170,57 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
     if (containsPoint(o.vertex(0))) 1 else -1
   }
 
+  /** Validation per loop.go:219-270 (unit vertices, vertex count,
+    * degenerate/antipodal edges, duplicate vertices) plus the
+    * non-adjacent edge-crossing check the reference leaves as a TODO
+    * (the edge index makes it cheap here). Returns the first error.
+    */
+  def validate(checkSelfIntersection: Boolean = true): Option[String] = {
+    val n = vertices.length
+    var i = 0
+    while (i < n) {
+      if (math.abs(vertices(i).norm2 - 1.0) > 5 * Predicates.MachineEps)
+        return Some(s"vertex $i is not unit length")
+      i += 1
+    }
+    if (n < 3) {
+      if (isEmptyOrFull) return None
+      return Some("non-empty, non-full loops must have at least 3 vertices")
+    }
+    i = 0
+    while (i < n) {
+      if (vertex(i) == vertex(i + 1))
+        return Some(s"edge $i is degenerate (duplicate vertex)")
+      if (vertex(i) == vertex(i + 1) * -1)
+        return Some(s"vertices $i and ${(i + 1) % n} are antipodal")
+      i += 1
+    }
+    val seen = scala.collection.mutable.HashSet[Vec3]()
+    i = 0
+    while (i < n) {
+      if (!seen.add(vertices(i)))
+        return Some(s"duplicate vertex at $i")
+      i += 1
+    }
+    if (checkSelfIntersection) {
+      i = 0
+      while (i < n) {
+        val a0 = vertex(i)
+        val a1 = vertex(i + 1)
+        val crosser = new EdgeCrosser(a0, a1)
+        for (j <- candidateEdges(a0, a1)) {
+          // skip this edge and the two adjacent ones (they share a vertex)
+          val adjacent = j == i || (j + 1) % n == i || (i + 1) % n == j
+          if (!adjacent && j > i &&
+            crosser.crossingSignTo(vertex(j), vertex(j + 1)) == Cross)
+            return Some(s"edges $i and $j cross")
+        }
+        i += 1
+      }
+    }
+    None
+  }
+
   /** Whether the two loops have the same boundary (same vertices in the
     * same cyclic order); empty and full differ (loop.go:394-425).
     */

@@ -164,6 +164,43 @@ object Predicates {
     dx.multiply(dx).add(dy.multiply(dy)).add(dz.multiply(dz))
   }
 
+  /** Sign of a dot product with a triage tier + exact fallback
+    * (predicates.go:733-766). Supports un-normalized vectors up to
+    * length sqrt(2) (cell edge normals).
+    */
+  def signDotProd(a: Vec3, b: Vec3): Int = {
+    val maxError = 3.046875 * MachineEps
+    val na = a.dot(b)
+    if (math.abs(na) > maxError) return if (na > 0) 1 else -1
+    bd(a.x).multiply(bd(b.x)).add(bd(a.y).multiply(bd(b.y)))
+      .add(bd(a.z).multiply(bd(b.z))).signum
+  }
+
+  /** Order of two edge crossings of great circle M relative to reference
+    * circle N (predicates.go:770-925): -1 when AB's crossing is closer
+    * to N than CD's, 0 at the same position, +1 when farther. Edges must
+    * cross M with A, C on its positive side; valid within 90 degrees of
+    * N. Quadruple products expand via Lagrange to
+    * (M.A)(N.B) - (M.B)(N.A), triaged at 32 eps then exact.
+    */
+  def circleEdgeIntersectionOrdering(a: Vec3, b: Vec3, c: Vec3, d: Vec3,
+                                     m: Vec3, n: Vec3): Int = {
+    val maxError = 32 * MachineEps
+    val prodab = m.dot(a) * n.dot(b) - m.dot(b) * n.dot(a)
+    val prodcd = m.dot(c) * n.dot(d) - m.dot(d) * n.dot(c)
+    if (math.abs(prodab - prodcd) > maxError)
+      return if (prodab < prodcd) -1 else 1
+    if ((a == c && b == d) || (a == d && b == c)) return 0
+    def dotE(u: Vec3, v: Vec3) =
+      bd(u.x).multiply(bd(v.x)).add(bd(u.y).multiply(bd(v.y)))
+        .add(bd(u.z).multiply(bd(v.z)))
+    val ab = dotE(m, a).multiply(dotE(n, b))
+      .subtract(dotE(m, b).multiply(dotE(n, a)))
+    val cd = dotE(m, c).multiply(dotE(n, d))
+      .subtract(dotE(m, d).multiply(dotE(n, c)))
+    ab.compareTo(cd)
+  }
+
   /** Sign of d(x,a) - d(x,b): +1 when a is farther, -1 when b is
     * farther, 0 for exactly equidistant points. Triage bound: each
     * component difference carries <= 0.5 ulp error, each product <= 1.5
