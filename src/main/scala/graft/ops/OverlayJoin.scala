@@ -66,4 +66,63 @@ object OverlayJoin {
       .select(col("a_id"), col("b_id"),
         col("rel._1").as("a_contains_b"), col("rel._2").as("b_contains_a"))
   }
+
+  /** Shuffle-native overlay join for polygon sets too large to broadcast:
+    * both sides are DataFrames of (id, geom) with wire-encoded polygons
+    * (Codec.encodePolygon). Coverings are computed row-side from the
+    * geometry, candidates pair on covering cells, and the refine decodes
+    * through a content-keyed executor cache — geometry only travels on
+    * the candidate pairs that survive cell pruning, never on covering
+    * rows.
+    */
+  def polygonOverlapJoinLarge(spark: SparkSession,
+                              polysA: DataFrame, polysB: DataFrame,
+                              level: Int = 8,
+                              maxCells: Int = 32): DataFrame = {
+    val coverUdf = udf((geom: Array[Byte]) => {
+      val p = Codec.decodePolygon(geom)
+      RegionCoverer(maxCells = maxCells).covering(p)
+        .denormalize(level, 1).ids.map(c => CellId.parent(c, level)).distinct
+    })
+    val aCells = polysA
+      .withColumn("cell", explode(coverUdf(col("geom"))))
+      .select(col("cell"), col("a_id"))
+    val bCells = polysB
+      .withColumn("cell", explode(coverUdf(col("geom"))))
+      .select(col("cell"), col("b_id"))
+    val candidates = aCells.join(bCells, "cell")
+      .select("a_id", "b_id").distinct()
+
+    val relUdf = udf((aGeom: Array[Byte], bGeom: Array[Byte]) => {
+      val a = OverlayJoin.cachedPolygon(aGeom)
+      val b = OverlayJoin.cachedPolygon(bGeom)
+      if (!a.intersects(b)) null
+      else (a.contains(b), b.contains(a))
+    })
+    candidates
+      .join(polysA.select(col("a_id"), col("geom").as("a_geom")), "a_id")
+      .join(polysB.select(col("b_id"), col("geom").as("b_geom")), "b_id")
+      .withColumn("rel", relUdf(col("a_geom"), col("b_geom")))
+      .filter(col("rel").isNotNull)
+      .select(col("a_id"), col("b_id"),
+        col("rel._1").as("a_contains_b"), col("rel._2").as("b_contains_a"))
+  }
+
+  // Executor-local decode cache keyed by geometry bytes (same pattern as
+  // ShuffleSpatialJoin.cachedLoop).
+  private val polyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, Polygon](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, Polygon]): Boolean =
+        size() > 1024
+    })
+  def cachedPolygon(geom: Array[Byte]): Polygon = {
+    val key = java.nio.ByteBuffer.wrap(geom)
+    var p = polyCache.get(key)
+    if (p == null) {
+      p = Codec.decodePolygon(geom)
+      polyCache.put(key, p)
+    }
+    p
+  }
 }
