@@ -1,0 +1,538 @@
+package graft.core
+
+/** Shape abstraction: geometry as an edge list with a dimension and a
+  * reference point (/root/reference/s2/shape.go:157-269, reduced to the
+  * surface the index needs; chains are implicit in the edge order).
+  */
+trait Shape {
+  def numEdges: Int
+  /** Edge e as (v0, v1). */
+  def edge(e: Int): (Vec3, Vec3)
+  /** 0 = points, 1 = polyline, 2 = polygon. */
+  def dimension: Int
+  /** (point, containedByShape) — the containment anchor
+    * (shapeutil.go referencePointForShape).
+    */
+  def referencePoint: (Vec3, Boolean)
+}
+
+final case class LoopShape(loop: Loop) extends Shape {
+  def numEdges: Int = if (loop.isEmptyOrFull) 0 else loop.numVertices
+  def edge(e: Int): (Vec3, Vec3) = (loop.vertex(e), loop.vertex(e + 1))
+  def dimension: Int = 2
+  def referencePoint: (Vec3, Boolean) =
+    (EdgeCrossings.originPoint, loop.originInside)
+}
+
+final case class PolygonShape(polygon: Polygon) extends Shape {
+  private val offsets: Array[Int] = {
+    val o = new Array[Int](polygon.loops.length + 1)
+    for (i <- polygon.loops.indices)
+      o(i + 1) = o(i) + (if (polygon.loops(i).isEmptyOrFull) 0
+        else polygon.loops(i).numVertices)
+    o
+  }
+  def numEdges: Int = offsets.last
+  def edge(e: Int): (Vec3, Vec3) = {
+    var li = 0
+    while (e >= offsets(li + 1)) li += 1
+    val loop = polygon.loops(li)
+    val k = e - offsets(li)
+    (loop.vertex(k), loop.vertex(k + 1))
+  }
+  def dimension: Int = 2
+  def referencePoint: (Vec3, Boolean) = {
+    var inside = false
+    polygon.loops.foreach(l => inside ^= l.originInside)
+    (EdgeCrossings.originPoint, inside)
+  }
+}
+
+final case class PolylineShape(polyline: Polyline) extends Shape {
+  def numEdges: Int = math.max(0, polyline.vertices.length - 1)
+  def edge(e: Int): (Vec3, Vec3) = (polyline.vertices(e), polyline.vertices(e + 1))
+  def dimension: Int = 1
+  def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
+}
+
+/** O(n) containment from a shape's reference point
+  * (shapeutil.go:213-230).
+  */
+object ShapeUtil {
+  def containsBruteForce(shape: Shape, point: Vec3): Boolean = {
+    if (shape.dimension != 2) return false
+    val (refPoint, refContained) = shape.referencePoint
+    if (refPoint == point) return refContained
+    val crosser = new EdgeCrosser(refPoint, point)
+    var inside = refContained
+    var e = 0
+    while (e < shape.numEdges) {
+      val (v0, v1) = shape.edge(e)
+      inside ^= crosser.edgeOrVertexCrossingTo(v0, v1)
+      e += 1
+    }
+    inside
+  }
+}
+
+/** The part of one shape intersecting one index cell: the ORIGINAL edge
+  * ids crossing the (padded) cell, plus whether the cell center is inside
+  * the shape (shapeindex.go:65-110).
+  */
+final class ClippedShape(val shapeId: Int, var containsCenter: Boolean,
+                         val edges: Array[Int]) {
+  def numEdges: Int = edges.length
+  def containsEdge(id: Int): Boolean = edges.contains(id)
+}
+
+final class ShapeIndexCell(val shapes: Array[ClippedShape]) {
+  def numEdges: Int = shapes.map(_.numEdges).sum
+  def findByShapeId(id: Int): ClippedShape = {
+    var i = 0
+    while (i < shapes.length) {
+      if (shapes(i).shapeId == id) return shapes(i)
+      i += 1
+    }
+    null
+  }
+}
+
+/** Cell relation of a target to the index (shapeindex.go:28-39). */
+object CellRelation {
+  final val Indexed = 0
+  final val Subdivided = 1
+  final val Disjoint = 2
+}
+
+/** The reference's ShapeIndex, batch-build path
+  * (/root/reference/s2/shapeindex.go:560-1360): every shape edge is
+  * clipped to the six cube faces (ClipToPaddedFace with cellPadding),
+  * then recursively distributed over a PaddedCell subdivision that
+  * splits while more than maxEdgesPerCell short edges land in a cell
+  * (long edges — longer than the cell — do not count). The interior
+  * tracker walks cell entry/center/exit vertices in Hilbert order,
+  * maintaining the set of shapes containing the focus, which stamps
+  * containsCenter on every emitted cell.
+  *
+  * Deviation from the reference: incremental add/remove after the first
+  * build is not supported (the engine builds indexes once per immutable
+  * shape set); the first-build path is ported faithfully.
+  */
+final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
+  import EdgeClipping._
+
+  /** Total clip slop so queries need no re-padding
+    * (shapeindex.go:41-51).
+    */
+  val CellPadding: Double = 2.0 * (FaceClipErrorUVCoord + EdgeClipErrorUVCoord)
+
+  private val shapesBuf = scala.collection.mutable.ArrayBuffer[Shape]()
+  private var built = false
+  private val cellsBuf = scala.collection.mutable.ArrayBuffer[Long]()
+  private[core] var cells: Array[Long] = Array.empty
+  private val cellMap = scala.collection.mutable.HashMap[Long, ShapeIndexCell]()
+
+  def add(shape: Shape): Int = {
+    require(!built, "batch index: add all shapes before first query")
+    shapesBuf += shape
+    shapesBuf.length - 1
+  }
+
+  def numShapes: Int = shapesBuf.length
+  def shape(id: Int): Shape = shapesBuf(id)
+
+  def cellFor(id: Long): ShapeIndexCell = cellMap(id)
+
+  // --- build ---------------------------------------------------------
+
+  private final class FaceEdge(val shapeId: Int, val edgeId: Int,
+                               val maxLevel: Int, val hasInterior: Boolean,
+                               val aX: Double, val aY: Double,
+                               val bX: Double, val bY: Double,
+                               val v0: Vec3, val v1: Vec3)
+
+  private final class ClippedEdge(val fe: FaceEdge,
+                                  val xLo: Double, val xHi: Double,
+                                  val yLo: Double, val yHi: Double)
+
+  /** First subdivision level where the average cell size is at most the
+    * edge length (shapeindex.go:1529-1537).
+    */
+  private def maxLevelForEdge(v0: Vec3, v1: Vec3): Int =
+    Metric.AvgEdge.minLevel((v0 - v1).norm * 1.0 /* cellSizeToLongEdgeRatio */)
+
+  private final class Tracker {
+    var isActive = false
+    var a: Vec3 = Vec3.zero
+    var b: Vec3 = STUV.faceUVToXYZ(0, -1, -1).normalize
+    var nextCellId: Long =
+      CellId.childBeginAtLevel(CellId.fromFace(0), CellId.MaxLevel)
+    var crosser: EdgeCrosser = _
+    var shapeIds: List[Int] = Nil
+    drawTo(STUV.faceUVToXYZ(0, -1, -1).normalize)
+
+    def focus: Vec3 = b
+    def addShape(shapeId: Int, containsFocus: Boolean): Unit = {
+      isActive = true
+      if (containsFocus) toggleShape(shapeId)
+    }
+    def moveTo(p: Vec3): Unit = b = p
+    def drawTo(p: Vec3): Unit = { a = b; b = p; crosser = new EdgeCrosser(a, b) }
+    def testEdge(shapeId: Int, v0: Vec3, v1: Vec3): Unit =
+      if (crosser.edgeOrVertexCrossingTo(v0, v1)) toggleShape(shapeId)
+    def setNextCellId(id: Long): Unit = nextCellId = CellId.rangeMin(id)
+    def atCellId(id: Long): Boolean = CellId.rangeMin(id) == nextCellId
+    def toggleShape(shapeId: Int): Unit =
+      shapeIds = if (shapeIds.contains(shapeId)) shapeIds.filterNot(_ == shapeId)
+        else (shapeId :: shapeIds).sorted
+  }
+
+  private[core] def maybeBuild(): Unit = synchronized {
+    if (built) return
+    val t = new Tracker
+    val allEdges = Array.fill(6)(scala.collection.mutable.ArrayBuffer[FaceEdge]())
+    for (shapeId <- shapesBuf.indices) {
+      val s = shapesBuf(shapeId)
+      val hasInterior = s.dimension == 2
+      if (hasInterior)
+        t.addShape(shapeId, ShapeUtil.containsBruteForce(s, t.focus))
+      var e = 0
+      while (e < s.numEdges) {
+        val (v0, v1) = s.edge(e)
+        addFaceEdge(shapeId, e, hasInterior, v0, v1, allEdges)
+        e += 1
+      }
+    }
+    for (face <- 0 until 6) updateFaceEdges(face, allEdges(face).toArray, t)
+    // cells were appended in increasing Hilbert order by construction
+    cells = cellsBuf.toArray
+    built = true
+  }
+
+  private def addFaceEdge(shapeId: Int, edgeId: Int, hasInterior: Boolean,
+                          v0: Vec3, v1: Vec3,
+                          allEdges: Array[scala.collection.mutable.ArrayBuffer[FaceEdge]]): Unit = {
+    val maxLevel = maxLevelForEdge(v0, v1)
+    val aFace = STUV.face(v0.x, v0.y, v0.z)
+    if (aFace == STUV.face(v1.x, v1.y, v1.z)) {
+      val ax = STUV.validFaceXYZtoU(aFace, v0.x, v0.y, v0.z)
+      val ay = STUV.validFaceXYZtoV(aFace, v0.x, v0.y, v0.z)
+      val bx = STUV.validFaceXYZtoU(aFace, v1.x, v1.y, v1.z)
+      val by = STUV.validFaceXYZtoV(aFace, v1.x, v1.y, v1.z)
+      val maxUV = 1 - CellPadding
+      if (math.abs(ax) <= maxUV && math.abs(ay) <= maxUV &&
+        math.abs(bx) <= maxUV && math.abs(by) <= maxUV) {
+        allEdges(aFace) += new FaceEdge(shapeId, edgeId, maxLevel, hasInterior,
+          ax, ay, bx, by, v0, v1)
+        return
+      }
+    }
+    for (face <- 0 until 6) {
+      clipToPaddedFace(v0, v1, face, CellPadding).foreach {
+        case (ax, ay, bx, by) =>
+          allEdges(face) += new FaceEdge(shapeId, edgeId, maxLevel, hasInterior,
+            ax, ay, bx, by, v0, v1)
+      }
+    }
+  }
+
+  private def updateFaceEdges(face: Int, faceEdges: Array[FaceEdge],
+                              t: Tracker): Unit = {
+    if (faceEdges.isEmpty && t.shapeIds.isEmpty) return
+    var xLo = Double.MaxValue; var xHi = -Double.MaxValue
+    var yLo = Double.MaxValue; var yHi = -Double.MaxValue
+    val clippedEdges = faceEdges.map { fe =>
+      val e = new ClippedEdge(fe, math.min(fe.aX, fe.bX), math.max(fe.aX, fe.bX),
+        math.min(fe.aY, fe.bY), math.max(fe.aY, fe.bY))
+      xLo = math.min(xLo, e.xLo); xHi = math.max(xHi, e.xHi)
+      yLo = math.min(yLo, e.yLo); yHi = math.max(yHi, e.yHi)
+      e
+    }
+    val faceId = CellId.fromFace(face)
+    var pcell = PaddedCell.fromCellId(faceId, CellPadding)
+    if (faceEdges.nonEmpty) {
+      val shrunkId = pcell.shrinkToFit(xLo, xHi, yLo, yHi)
+      if (shrunkId != faceId) {
+        skipCellRange(CellId.rangeMin(faceId), CellId.rangeMin(shrunkId), t)
+        pcell = PaddedCell.fromCellId(shrunkId, CellPadding)
+        updateEdges(pcell, clippedEdges.toList, t)
+        skipCellRange(CellId.next(CellId.rangeMax(shrunkId)),
+          CellId.next(CellId.rangeMax(faceId)), t)
+        return
+      }
+    }
+    updateEdges(pcell, clippedEdges.toList, t)
+  }
+
+  private def skipCellRange(begin: Long, end: Long, t: Tracker): Unit = {
+    if (t.shapeIds.isEmpty) return
+    CellUnion.fromRange(begin, end).ids.foreach { cell =>
+      updateEdges(PaddedCell.fromCellId(cell, CellPadding), Nil, t)
+    }
+  }
+
+  private def updateEdges(pcell: PaddedCell, edges: List[ClippedEdge],
+                          t: Tracker): Unit = {
+    if (!makeIndexCell(pcell, edges, t)) {
+      val (mULo, mUHi, mVLo, mVHi) = pcell.middle
+      val child00 = scala.collection.mutable.ListBuffer[ClippedEdge]()
+      val child01 = scala.collection.mutable.ListBuffer[ClippedEdge]()
+      val child10 = scala.collection.mutable.ListBuffer[ClippedEdge]()
+      val child11 = scala.collection.mutable.ListBuffer[ClippedEdge]()
+
+      def addV(e: ClippedEdge, lowBuf: scala.collection.mutable.ListBuffer[ClippedEdge],
+               hiBuf: scala.collection.mutable.ListBuffer[ClippedEdge]): Unit = {
+        val (a, b) = clipVAxis(e, mVLo, mVHi)
+        if (a != null) lowBuf += a
+        if (b != null) hiBuf += b
+      }
+
+      edges.foreach { edge =>
+        if (edge.xHi <= mULo) addV(edge, child00, child01)
+        else if (edge.xLo >= mUHi) addV(edge, child10, child11)
+        else if (edge.yHi <= mVLo) {
+          val a = clipUBound(edge, 1, mUHi); if (a != null) child00 += a
+          val b = clipUBound(edge, 0, mULo); if (b != null) child10 += b
+        } else if (edge.yLo >= mVHi) {
+          val a = clipUBound(edge, 1, mUHi); if (a != null) child01 += a
+          val b = clipUBound(edge, 0, mULo); if (b != null) child11 += b
+        } else {
+          val left = clipUBound(edge, 1, mUHi)
+          addV(left, child00, child01)
+          val right = clipUBound(edge, 0, mULo)
+          addV(right, child10, child11)
+        }
+      }
+
+      def bufFor(i: Int, j: Int) = (i, j) match {
+        case (0, 0) => child00
+        case (0, 1) => child01
+        case (1, 0) => child10
+        case _ => child11
+      }
+      for (pos <- 0 until 4) {
+        val (i, j) = pcell.childIJ(pos)
+        val buf = bufFor(i, j)
+        if (buf.nonEmpty || t.shapeIds.nonEmpty)
+          updateEdges(pcell.childAt(i, j), buf.toList, t)
+      }
+    }
+  }
+
+  private def makeIndexCell(p: PaddedCell, edges: List[ClippedEdge],
+                            t: Tracker): Boolean = {
+    if (edges.isEmpty && t.shapeIds.isEmpty) return true
+    // count edges that have not reached their max level
+    var count = 0
+    var tooMany = false
+    edges.foreach { ce =>
+      if (p.level < ce.fe.maxLevel) {
+        count += 1
+        if (count > maxEdgesPerCell) tooMany = true
+      }
+    }
+    if (tooMany) return false
+
+    if (t.isActive && edges.nonEmpty) {
+      if (!t.atCellId(p.id)) t.moveTo(p.entryVertex)
+      t.drawTo(p.center)
+      edges.foreach(e =>
+        if (e.fe.hasInterior) t.testEdge(e.fe.shapeId, e.fe.v0, e.fe.v1))
+    }
+
+    // merge edge shapes with center-containing shapes (both id-sorted)
+    val cShapeIds = t.shapeIds
+    val edgeArr = edges.toArray
+    val clippedShapes = scala.collection.mutable.ArrayBuffer[ClippedShape]()
+    var eNext = 0
+    var cRest = cShapeIds
+    while (eNext < edgeArr.length || cRest.nonEmpty) {
+      val eShapeId = if (eNext < edgeArr.length) edgeArr(eNext).fe.shapeId
+        else Int.MaxValue
+      val cShapeId = cRest.headOption.getOrElse(Int.MaxValue)
+      if (cShapeId < eShapeId) {
+        val cs = new ClippedShape(cShapeId, true, Array.empty)
+        clippedShapes += cs
+        cRest = cRest.tail
+      } else {
+        val eBegin = eNext
+        while (eNext < edgeArr.length && edgeArr(eNext).fe.shapeId == eShapeId)
+          eNext += 1
+        val cs = new ClippedShape(eShapeId, cShapeId == eShapeId,
+          (eBegin until eNext).map(edgeArr(_).fe.edgeId).toArray)
+        clippedShapes += cs
+        if (cShapeId == eShapeId) cRest = cRest.tail
+      }
+    }
+    cellMap(p.id) = new ShapeIndexCell(clippedShapes.toArray)
+    cellsBuf += p.id
+
+    if (t.isActive && edges.nonEmpty) {
+      t.drawTo(p.exitVertex)
+      edges.foreach(e =>
+        if (e.fe.hasInterior) t.testEdge(e.fe.shapeId, e.fe.v0, e.fe.v1))
+      t.setNextCellId(CellId.next(p.id))
+    }
+    true
+  }
+
+  private def updateBound(edge: ClippedEdge, uEnd: Int, u: Double,
+                          vEnd: Int, v: Double): ClippedEdge = {
+    val (xLo, xHi) = if (uEnd == 0) (u, edge.xHi) else (edge.xLo, u)
+    val (yLo, yHi) = if (vEnd == 0) (v, edge.yHi) else (edge.yLo, v)
+    new ClippedEdge(edge.fe, xLo, xHi, yLo, yHi)
+  }
+
+  private def clipUBound(edge: ClippedEdge, uEnd: Int, u: Double): ClippedEdge = {
+    if (uEnd == 0) { if (edge.xLo >= u) return edge }
+    else { if (edge.xHi <= u) return edge }
+    val e = edge.fe
+    val vRaw = interpolateDouble(u, e.aX, e.bX, e.aY, e.bY)
+    val v = math.max(edge.yLo, math.min(edge.yHi, vRaw))
+    val positiveSlope = (e.aX > e.bX) == (e.aY > e.bY)
+    val vEnd = if ((uEnd == 1) == positiveSlope) 1 else 0
+    updateBound(edge, uEnd, u, vEnd, v)
+  }
+
+  private def clipVBound(edge: ClippedEdge, vEnd: Int, v: Double): ClippedEdge = {
+    if (vEnd == 0) { if (edge.yLo >= v) return edge }
+    else { if (edge.yHi <= v) return edge }
+    val e = edge.fe
+    val uRaw = interpolateDouble(v, e.aY, e.bY, e.aX, e.bX)
+    val u = math.max(edge.xLo, math.min(edge.xHi, uRaw))
+    val positiveSlope = (e.aX > e.bX) == (e.aY > e.bY)
+    val uEnd = if ((vEnd == 1) == positiveSlope) 1 else 0
+    updateBound(edge, uEnd, u, vEnd, v)
+  }
+
+  private def clipVAxis(edge: ClippedEdge, mVLo: Double,
+                        mVHi: Double): (ClippedEdge, ClippedEdge) = {
+    if (edge.yHi <= mVLo) (edge, null)
+    else if (edge.yLo >= mVHi) (null, edge)
+    else (clipVBound(edge, 1, mVHi), clipVBound(edge, 0, mVLo))
+  }
+
+  // --- iterator ------------------------------------------------------
+
+  def iterator(): ShapeIndexIterator = {
+    maybeBuild()
+    new ShapeIndexIterator(this)
+  }
+}
+
+/** Sorted-cell iterator with seek/locate (shapeindex.go:200-371). */
+final class ShapeIndexIterator(index: ShapeIndex) {
+  import java.lang.{Long => JLong}
+  private var position = 0
+
+  def done: Boolean = position >= index.cells.length
+  def cellId: Long = if (done) -1L /* sentinel, unsigned max */ else index.cells(position)
+  def indexCell: ShapeIndexCell = index.cellFor(cellId)
+  def center: Vec3 = CellId.toPoint(cellId)
+  def begin(): Unit = position = 0
+  def next(): Unit = position += 1
+  def prev(): Boolean = {
+    if (position == 0) return false
+    position -= 1
+    true
+  }
+
+  def seek(target: Long): Unit = {
+    var lo = 0
+    var hi = index.cells.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (JLong.compareUnsigned(index.cells(mid), target) < 0) lo = mid + 1
+      else hi = mid
+    }
+    position = lo
+  }
+
+  /** Position at the cell containing p (shapeindex.go:126-145). */
+  def locatePoint(p: Vec3): Boolean = {
+    val target = CellId.fromPoint(p.x, p.y, p.z)
+    seek(target)
+    if (!done && JLong.compareUnsigned(CellId.rangeMin(cellId), target) <= 0)
+      return true
+    if (prev() && JLong.compareUnsigned(CellId.rangeMax(cellId), target) >= 0)
+      return true
+    false
+  }
+
+  /** Indexed / Subdivided / Disjoint relation (shapeindex.go:347-371). */
+  def locateCellId(target: Long): Int = {
+    seek(CellId.rangeMin(target))
+    if (!done) {
+      if (JLong.compareUnsigned(cellId, target) >= 0 &&
+        JLong.compareUnsigned(CellId.rangeMin(cellId), target) <= 0)
+        return CellRelation.Indexed
+      if (JLong.compareUnsigned(cellId, CellId.rangeMax(target)) <= 0)
+        return CellRelation.Subdivided
+    }
+    if (prev() && JLong.compareUnsigned(CellId.rangeMax(cellId), target) >= 0)
+      return CellRelation.Indexed
+    CellRelation.Disjoint
+  }
+}
+
+/** Multi-shape PIP with Open/SemiOpen/Closed boundary models
+  * (/root/reference/s2/contains_point_query.go:17-186).
+  */
+object VertexModel {
+  final val Open = 0
+  final val SemiOpen = 1
+  final val Closed = 2
+}
+
+final class ContainsPointQuery(index: ShapeIndex,
+                               model: Int = VertexModel.SemiOpen) {
+  private val iter = index.iterator()
+
+  def contains(p: Vec3): Boolean = {
+    if (!iter.locatePoint(p)) return false
+    val cell = iter.indexCell
+    cell.shapes.exists(clipped => shapeContains(clipped, iter.center, p))
+  }
+
+  def shapeContains(shape: Shape, shapeId: Int, p: Vec3): Boolean = {
+    if (!iter.locatePoint(p)) return false
+    val clipped = iter.indexCell.findByShapeId(shapeId)
+    if (clipped == null) return false
+    shapeContains(clipped, iter.center, p)
+  }
+
+  /** All shape ids containing p. */
+  def containingShapes(p: Vec3): Seq[Int] = {
+    if (!iter.locatePoint(p)) return Seq.empty
+    val cell = iter.indexCell
+    cell.shapes.filter(c => shapeContains(c, iter.center, p)).map(_.shapeId).toSeq
+  }
+
+  private def shapeContains(clipped: ClippedShape, center: Vec3, p: Vec3): Boolean = {
+    var inside = clipped.containsCenter
+    if (clipped.numEdges <= 0) return inside
+    val shape = index.shape(clipped.shapeId)
+    if (shape.dimension != 2) {
+      if (model != VertexModel.Closed) return false
+      return clipped.edges.exists { e =>
+        val (v0, v1) = shape.edge(e)
+        v0 == p || v1 == p
+      }
+    }
+    val crosser = new EdgeCrosser(center, p)
+    for (e <- clipped.edges) {
+      val (v0, v1) = shape.edge(e)
+      var sign = crosser.crossingSignTo(v0, v1)
+      if (sign != EdgeCrossings.DoNotCross) {
+        if (sign == EdgeCrossings.MaybeCross) {
+          if (model != VertexModel.SemiOpen && (v0 == p || v1 == p))
+            return model == VertexModel.Closed
+          sign = if (EdgeCrossings.vertexCrossing(center, p, v0, v1))
+            EdgeCrossings.Cross else EdgeCrossings.DoNotCross
+        }
+        inside = inside != (sign == EdgeCrossings.Cross)
+      }
+    }
+    inside
+  }
+}
