@@ -475,6 +475,77 @@ final class ShapeIndexIterator(index: ShapeIndex) {
   }
 }
 
+/** Adapts a ShapeIndex to the Region interface so RegionCoverer can
+  * cover whole indexes (/root/reference/s2/shapeindex_region.go:15-133).
+  * The reference implements CellUnionBound/CapBound/RectBound and leaves
+  * the cell predicates as TODOs; here the cell callbacks are implemented
+  * conservatively (containsCell = false, intersectsCell = index-cell
+  * relation != Disjoint), which keeps coverings valid covers.
+  */
+final class ShapeIndexRegion(index: ShapeIndex) extends S2Region {
+  private def iter = index.iterator()
+
+  /** <= 4 cells within one face, up to 6 across faces
+    * (shapeindex_region.go:44-106).
+    */
+  def cellUnionBound: Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val it = iter
+    if (index.cells.isEmpty) return Array.empty
+    val lastIndexId = index.cells.last
+    it.begin()
+    if (it.cellId != lastIndexId) {
+      // span at most 4-6 cells at one level above the common ancestor
+      val common = CellId.commonAncestorLevel(it.cellId, lastIndexId)
+      val level = (if (common < 0) -1 else common) + 1
+      val lastId = CellId.parent(lastIndexId, level)
+      var id = CellId.parent(it.cellId, level)
+      var guard = 0
+      while (id != lastId && guard < 8) {
+        if (java.lang.Long.compareUnsigned(CellId.rangeMax(id), it.cellId) >= 0) {
+          val first = it.cellId
+          it.seek(CellId.next(CellId.rangeMax(id)))
+          it.prev()
+          coverRange(first, it.cellId, out)
+          it.next()
+        }
+        id = CellId.next(id)
+        guard += 1
+      }
+    }
+    coverRange(it.cellId, lastIndexId, out)
+    out.toArray
+  }
+
+  private def coverRange(first: Long, last: Long,
+                         out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    if (first == last) { out += first; return }
+    val level = CellId.commonAncestorLevel(first, last)
+    if (level < 0) { out += 0L; return }
+    out += CellId.parent(first, level)
+  }
+
+  def capBound: Cap = {
+    val ids = cellUnionBound.sorted(Ordering.fromLessThan[Long](
+      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+    CellUnion.fromNormalized(ids).capBound
+  }
+
+  def rectBound: SphereRect = {
+    var r = SphereRect.empty
+    cellUnionBound.foreach(id => r = r.union(Cell.fromId(id).rectBound))
+    r
+  }
+
+  def containsCell(cell: Cell): Boolean = false // conservative (ref TODO)
+
+  def intersectsCell(cell: Cell): Boolean =
+    iter.locateCellId(cell.id) != CellRelation.Disjoint
+
+  def containsPoint(p: Vec3): Boolean =
+    new ContainsPointQuery(index, VertexModel.SemiOpen).contains(p)
+}
+
 /** Multi-shape PIP with Open/SemiOpen/Closed boundary models
   * (/root/reference/s2/contains_point_query.go:17-186).
   */

@@ -152,6 +152,31 @@ class ShapeIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ShapeIndexRegion: bounds cover the geometry; coverer produces valid covers") {
+    val index = buildFixtureIndex()
+    val region = new ShapeIndexRegion(index)
+    val cub = region.cellUnionBound
+    assert(cub.nonEmpty && cub.length <= 6)
+    // every index cell must be contained by some bound cell
+    for (c <- index.cells) {
+      assert(cub.exists(b => CellId.contains(b, c)),
+        s"index cell ${CellId.toToken(c)} escapes the cell union bound")
+    }
+    // region covering contains sample points of every shape
+    val cov = RegionCoverer(maxCells = 32).covering(region)
+    for (id <- 0 until index.numShapes) {
+      val shape = index.shape(id)
+      if (shape.numEdges > 0) {
+        val (v0, _) = shape.edge(0)
+        assert(cov.containsCellId(CellId.fromPoint(v0.x, v0.y, v0.z)),
+          s"covering misses shape $id")
+      }
+    }
+    // containsPoint delegates to the SemiOpen query
+    assert(region.containsPoint(LatLng.toPointDegrees(40.7, -74.0)))
+    assert(!region.containsPoint(LatLng.toPointDegrees(0.0, 100.0)))
+  }
+
   test("ContainsPointQuery matches brute force under SemiOpen") {
     val index = buildFixtureIndex()
     val q = new ContainsPointQuery(index, VertexModel.SemiOpen)
