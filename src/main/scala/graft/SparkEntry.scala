@@ -124,6 +124,23 @@ object SparkEntry {
     LatLng.toPointDegrees(40.7128, -74.0060),
     Earth.angleFromMeters(300000), 4096)
 
+  /** Deterministic trajectory fixtures for the edge-kNN query: 12 chains
+    * of 5 vertices seeded from the city list.
+    */
+  def trajectoryLines: Seq[(Long, graft.core.Polyline)] =
+    (0 until 12).map { i =>
+      val (cLat, cLng) = PagesSource.cities(i % 8)
+      val rng = new scala.util.Random(1000 + i)
+      var lat = cLat + rng.nextDouble() * 2 - 1
+      var lng = cLng + rng.nextDouble() * 2 - 1
+      val pts = Seq.fill(5) {
+        lat += (rng.nextDouble() - 0.5) * 0.8
+        lng += (rng.nextDouble() - 0.5) * 0.8
+        (lat, lng)
+      }
+      (i.toLong, graft.core.Polyline.fromLatLngsDegrees(pts))
+    }
+
   /** City-center rectangles for the rect join (3x2 degrees, no wrap). */
   def cityRects: Seq[(Long, Double, Double, Double, Double)] =
     PagesSource.cities.zipWithIndex.map { case ((lat, lng), i) =>
@@ -393,6 +410,34 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // Edge kNN: for each city center, the 3 closest trajectory segments
+    // via ClosestEdgeQuery over a broadcast ShapeIndex of the chains —
+    // the executor-local best-first access path inside a Spark query.
+    "q_edge_knn" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val lines = trajectoryLines
+      val queries = PagesSource.cities.zipWithIndex
+        .map { case ((la, ln), i) => (i.toLong, la, ln) }
+        .toDF("query_id", "q_lat", "q_lng")
+      val bc = s.sparkContext.broadcast(lines)
+      val knnUdf = udf((lat: Double, lng: Double) => {
+        val index = new ShapeIndex()
+        bc.value.foreach { case (_, pl) => index.add(PolylineShape(pl)) }
+        val q = new ClosestEdgeQuery(index, includeInteriors = false)
+        q.findClosestEdges(
+          ClosestEdgeQuery.PointTarget(LatLng.toPointDegrees(lat, lng)), 3)
+          .zipWithIndex.map { case (r, rank) =>
+            (bc.value(r.shapeId)._1, r.edgeId, rank + 1)
+          }
+      })
+      queries
+        .withColumn("hit", explode(knnUdf(col("q_lat"), col("q_lng"))))
+        .select(col("query_id"), col("hit._1").as("line_id"),
+          col("hit._2").cast("long").as("seg_id"),
+          col("hit._3").cast("long").as("rank"))
+    }),
+
     // ANN scale path 2: IVF inverted lists (coarse quantizer + nProbe
     // probing; rows-only check, recall asserted in DedupSpec).
     "q_ann_ivf" -> ((s, dir) => {
@@ -569,9 +614,57 @@ object SparkEntry {
        |WHERE a.crossings > 0 OR c.line_id IS NOT NULL""".stripMargin
   }
 
+  /** Oracle for the edge-kNN query: point-to-segment spherical distance
+    * computed from baked segment endpoints (interior case = distance to
+    * the great circle via asin, decided by the same tangential conditions
+    * as edge_distances.go interiorDist; endpoint case = arc cosine),
+    * ranked per query with the engine's (distance, line, segment)
+    * tie-break.
+    */
+  private def edgeKnnSql: String = {
+    val segs = trajectoryLines.flatMap { case (lineId, pl) =>
+      (1 until pl.vertices.length).map { k =>
+        val a = pl.vertices(k - 1)
+        val b = pl.vertices(k)
+        f"($lineId, ${k - 1}, ${a.x}%.17e, ${a.y}%.17e, ${a.z}%.17e, ${b.x}%.17e, ${b.y}%.17e, ${b.z}%.17e)"
+      }
+    }.mkString(", ")
+    val qs = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
+      val p = LatLng.toPointDegrees(la, ln)
+      f"($i, ${p.x}%.17e, ${p.y}%.17e, ${p.z}%.17e)"
+    }.mkString(", ")
+    s"""WITH seg(line_id, seg_id, ax, ay, az, bx, byy, bz) AS (VALUES $segs),
+       | q(query_id, px, py, pz) AS (VALUES $qs),
+       | d AS (SELECT q.query_id, s.line_id, s.seg_id,
+       |   CASE WHEN
+       |     ((s.ax*s.bx + s.ay*s.byy + s.az*s.bz)
+       |       * (s.ax*q.px + s.ay*q.py + s.az*q.pz)
+       |       - (s.bx*q.px + s.byy*q.py + s.bz*q.pz)) < 0
+       |     AND ((s.ax*q.px + s.ay*q.py + s.az*q.pz)
+       |       - (s.ax*s.bx + s.ay*s.byy + s.az*s.bz)
+       |         * (s.bx*q.px + s.byy*q.py + s.bz*q.pz)) > 0
+       |   THEN asin(least(1.0,
+       |     abs((s.ay*s.bz - s.az*s.byy)*q.px + (s.az*s.bx - s.ax*s.bz)*q.py
+       |       + (s.ax*s.byy - s.ay*s.bx)*q.pz)
+       |     / sqrt(pow(s.ay*s.bz - s.az*s.byy, 2) + pow(s.az*s.bx - s.ax*s.bz, 2)
+       |       + pow(s.ax*s.byy - s.ay*s.bx, 2))))
+       |   ELSE least(
+       |     acos(least(1.0, greatest(-1.0, s.ax*q.px + s.ay*q.py + s.az*q.pz))),
+       |     acos(least(1.0, greatest(-1.0, s.bx*q.px + s.byy*q.py + s.bz*q.pz))))
+       |   END AS dist
+       |   FROM q, seg s)
+       |SELECT query_id, line_id, seg_id, rank FROM (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |    CAST(line_id AS BIGINT) AS line_id, CAST(seg_id AS BIGINT) AS seg_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, line_id, seg_id) AS BIGINT) AS rank
+       |  FROM d) WHERE rank <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val polys = cityPolygons
     Map(
+      "q_edge_knn" -> edgeKnnSql,
       "q_poly_overlap" -> polyOverlapSql,
       "q_pip_coast" -> pipCoastSql,
       "q_crossing" -> crossingSql,
