@@ -48,6 +48,40 @@ class PolylineJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("degenerate inputs: empty sides, tiny k-overflow, single chains") {
+    import spark.implicits._
+    val one = Seq((0L, Polyline.fromLatLngsDegrees(Seq((10.0, 10.0), (10.5, 10.5)))))
+    // empty B side -> empty result, no crash
+    val emptyB = Seq.empty[(Long, Polyline)]
+    assert(PolylineJoin.polylineRadiusJoin(spark, one, emptyB, 50000).count() === 0)
+    assert(PolylineJoin.polylineRadiusJoin(spark, emptyB, one, 50000).count() === 0)
+    // self-join of a single chain finds itself at distance 0
+    val self = PolylineJoin.polylineRadiusJoin(spark, one, one, 1000).collect()
+    assert(self.length === 1 && self(0).getDouble(2) === 0.0)
+
+    // kNN with k greater than the candidate count returns all points
+    val pages = graft.sources.PagesSource.withLatLng(
+      spark.read.parquet(
+        graft.sources.PagesSource.pagesParquet(spark, "/root/testdata/sf0.001")))
+    val total = pages.count()
+    val qDf = Seq((0L, 48.8566, 2.3522)).toDF("query_id", "q_lat", "q_lng")
+    val all = SpatialJoin.knnJoinDF(spark, pages, qDf, k = total.toInt + 10,
+      tieBreakCol = "url")
+    assert(all.count() === total)
+
+    // overlay join with an empty side
+    val aDf = Seq((0L, graft.core.Codec.encodePolygon(
+      graft.SparkEntry.overlayPolysA.head._2))).toDF("a_id", "geom")
+    val bDf = spark.emptyDataset[(Long, Array[Byte])].toDF("b_id", "geom")
+    assert(OverlayJoin.polygonOverlapJoinLarge(spark, aDf, bDf).count() === 0)
+
+    // ClosestEdgeQuery over an empty index
+    val emptyIndex = new graft.core.ShapeIndex()
+    val q = new graft.core.ClosestEdgeQuery(emptyIndex)
+    assert(q.findClosestEdges(graft.core.ClosestEdgeQuery.PointTarget(
+      LatLng.toPointDegrees(0, 0)), 3).isEmpty)
+  }
+
   test("kNN DataFrame query side matches the Seq API and scans points at most twice") {
     import spark.implicits._
     val pages = graft.sources.PagesSource.withLatLng(
