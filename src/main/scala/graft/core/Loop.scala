@@ -366,20 +366,53 @@ final class Loop private (val vertices: Array[Vec3]) extends S2Region {
     a
   }
 
-  /** Gauss-Bonnet: area = 2*Pi - sum of turning angles. */
-  private def turningAngleArea(): Double = {
-    var sum = 0.0
-    var i = 0
+  /** Canonical (rotation- and direction-invariant) first vertex and
+    * traversal direction, so angle sums are order-stable
+    * (loop.go:758-775).
+    */
+  private def canonicalFirstVertex: (Int, Int) = {
+    def cmpLess(a: Vec3, b: Vec3): Boolean =
+      a.x < b.x || (a.x == b.x && (a.y < b.y || (a.y == b.y && a.z < b.z)))
+    var firstIdx = 0
     val n = vertices.length
+    var i = 1
     while (i < n) {
-      val a = vertex((i + n - 1) % n)
-      val b = vertex(i)
-      val c = vertex(i + 1)
-      sum += turnAngle(a, b, c)
+      if (cmpLess(vertex(i), vertex(firstIdx))) firstIdx = i
       i += 1
     }
-    2 * math.Pi - sum
+    if (cmpLess(vertex(firstIdx + 1), vertex(firstIdx + n - 1))) (firstIdx, 1)
+    else (firstIdx + n, -1)
   }
+
+  /** Turning-angle sum with Kahan compensation over the canonical vertex
+    * order (loop.go:785-828): plain accumulation has worst-case error
+    * quadratic in the vertex count on spiral shapes.
+    */
+  def turningAngle: Double = {
+    if (isEmptyOrFull) return if (originInside) -2 * math.Pi else 2 * math.Pi
+    if (vertices.length < 3) return 0
+    val n0 = vertices.length
+    var (i, dir) = canonicalFirstVertex
+    var sum = turnAngle(vertex((i + n0 - dir) % n0), vertex(i % n0),
+      vertex((i + dir + 2 * n0) % n0))
+    var compensation = 0.0
+    var n = n0
+    while (n - 1 > 0) {
+      i += dir
+      var angle = turnAngle(vertex((i - dir + 2 * n0) % n0), vertex((i + 2 * n0) % n0),
+        vertex((i + dir + 2 * n0) % n0))
+      val oldSum = sum
+      angle += compensation
+      sum += angle
+      compensation = (oldSum - sum) + angle
+      n -= 1
+    }
+    val maxCurvature = 2 * math.Pi - 4 * Predicates.MachineEps
+    math.max(-maxCurvature, math.min(maxCurvature, dir * (sum + compensation)))
+  }
+
+  /** Gauss-Bonnet: area = 2*Pi - sum of turning angles. */
+  private def turningAngleArea(): Double = 2 * math.Pi - turningAngle
 
   /** Exterior (turning) angle at b going a->b->c, positive for left turns
     * (point_measures.go:120-150).
