@@ -422,8 +422,8 @@ object SparkEntry {
         .toDF("query_id", "q_lat", "q_lng")
       val bc = s.sparkContext.broadcast(lines)
       val knnUdf = udf((lat: Double, lng: Double) => {
-        val index = new ShapeIndex()
-        bc.value.foreach { case (_, pl) => index.add(PolylineShape(pl)) }
+        // index built once per executor (IndexCache), not per row
+        val index = graft.ops.IndexCache.forPolylines(bc)
         val q = new ClosestEdgeQuery(index, includeInteriors = false)
         q.findClosestEdges(
           ClosestEdgeQuery.PointTarget(LatLng.toPointDegrees(lat, lng)), 3)
