@@ -59,6 +59,12 @@ object Bench {
     // Pre-materialize the pages fixture so generation cost is not timed.
     graft.sources.PagesSource.pagesParquet(spark, sfDir)
 
+    // Headline FIRST: measured on a clean session, before the 27-query
+    // sweep fills the block manager with cached candidate sets and the
+    // JVM with 50+ compiled stages (r2's driver artifact regressed 17%
+    // purely from sweep-then-headline ordering on this noisy host).
+    val (rps, nRows) = headlineRowsPerSec(spark, sfDir)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm
       val t0 = System.nanoTime()
@@ -66,7 +72,6 @@ object Bench {
         catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val (rps, nRows) = headlineRowsPerSec(spark, sfDir)
     // A crashed query must not masquerade as a fast timing: report -1 for
     // its wall time and list it under "errors".
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }

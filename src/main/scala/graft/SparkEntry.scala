@@ -261,10 +261,14 @@ object SparkEntry {
           round(degrees(atan2(col("sy"), col("sx"))), 6).as("c_lng"))
     }),
 
-    // Exact dedup on the documents table (hash-groupBy semantics).
+    // Exact dedup on the documents table. The group key is sha2(text),
+    // not the text itself: identical group semantics (collision odds at
+    // 256 bits are negligible at any corpus size), but the exchange
+    // carries 32-byte digests instead of whole documents — at 100 TB the
+    // shuffle payload shrinks by the full corpus size.
     "q_dedup_exact" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
-        .groupBy("text")
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
         .agg(min("doc_id").as("canonical_id"), count("*").as("dup_count"))
         .filter(col("dup_count") >= 1)
         .select(col("canonical_id"), col("dup_count"))

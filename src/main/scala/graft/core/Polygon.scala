@@ -11,16 +11,19 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
 
   // Assign nesting depths (the reference's initNested loop hierarchy,
   // polygon.go:282-375, computed here by containment counting: loops in a
-  // valid polygon do not cross, so depth(i) = number of other loops
-  // containing a vertex of i). Writes Loop.depth like the reference.
+  // valid polygon do not cross, so depth(i) = number of other loops that
+  // contain loop i). Containment is decided with containsNested — the
+  // findVertex + wedge test of loop.go:951-980 — NOT a point-in-loop
+  // parity test of vertex 0: a hole may legally touch its shell at a
+  // vertex, where parity of a boundary point is ill-defined and a flipped
+  // depth would silently corrupt `bound` and the polygon relations.
   locally {
     var i = 0
     while (i < loops.length) {
-      val v0 = loops(i).vertices(0)
       var d = 0
       var j = 0
       while (j < loops.length) {
-        if (j != i && loops(j).bruteForceContainsPoint(v0)) d += 1
+        if (j != i && loops(j).containsNested(loops(i))) d += 1
         j += 1
       }
       loops(i).depth = d
@@ -68,7 +71,7 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
     var total = 0.0
     for ((l, i) <- norm.zipWithIndex) {
       val depth = norm.indices.count(j =>
-        j != i && norm(j).bruteForceContainsPoint(l.vertices(0)))
+        j != i && norm(j).containsNested(l))
       total += (if (depth % 2 == 0) l.area else -l.area)
     }
     math.max(0, total)

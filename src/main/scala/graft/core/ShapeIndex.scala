@@ -565,7 +565,7 @@ final class ContainsPointQuery(index: ShapeIndex,
     cell.shapes.exists(clipped => shapeContains(clipped, iter.center, p))
   }
 
-  def shapeContains(shape: Shape, shapeId: Int, p: Vec3): Boolean = {
+  def shapeContains(shapeId: Int, p: Vec3): Boolean = {
     if (!iter.locatePoint(p)) return false
     val clipped = iter.indexCell.findByShapeId(shapeId)
     if (clipped == null) return false

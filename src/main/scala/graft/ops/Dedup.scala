@@ -270,9 +270,12 @@ object Dedup {
     * higher-order functions (codegen'd, sequential accumulation order).
     */
   def cosineCol(a: Column, b: Column): Column = {
-    val dot = expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-    val na = expr(s"aggregate(${a.toString}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    val nb = expr(s"aggregate(${b.toString}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    def sq(c: Column) = c.cast("double") * c.cast("double")
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + sq(v))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + sq(v))
     dot / (sqrt(na) * sqrt(nb))
   }
 

@@ -224,6 +224,7 @@ object SpatialJoin {
 
     val angle = Earth.angleFromMeters(initialRadiusMeters)
     val q = queries.select(col("query_id"), col("q_lat"), col("q_lng"))
+    var cached: DataFrame = null // candidate cache to release on return
 
     val acc: DataFrame = if (angle > Metric.MinWidth.value(0)) {
       // Radius exceeds the coverage guarantee of any cell ring: brute only.
@@ -252,6 +253,7 @@ object SpatialJoin {
         .filter(col("dist_rad") <= lit(angle))
         .drop("cell")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      cached = candidates
 
       val satisfiedIds = candidates.groupBy("query_id")
         .agg(count(lit(1)).as("n_cand"))
@@ -269,7 +271,17 @@ object SpatialJoin {
       if (tieBreakCol == null) Seq(col("dist_rad").asc)
       else Seq(col("dist_rad").asc, col(tieBreakCol).asc)
     val w = Window.partitionBy("query_id").orderBy(order: _*)
-    acc.withColumn("knn_rank", row_number().over(w))
+    val topK = acc.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
+    if (cached == null) topK
+    else {
+      // Materialize the (queries x k)-row result eagerly so the DISK_ONLY
+      // candidate cache can be released here instead of accumulating one
+      // block set per call on a long-lived session. The result itself is
+      // tiny; localCheckpoint severs it from the candidate lineage.
+      val out = topK.localCheckpoint(true)
+      cached.unpersist(false)
+      out
+    }
   }
 }

@@ -76,7 +76,12 @@ object StreamingCells {
           last = math.max(last, ts.getTime)
         }
         state.update((n, first, last))
-        state.setTimeoutTimestamp(last + gapMillis)
+        // An allowed-late event can put last+gap behind the current
+        // watermark when gap < watermark delay; setTimeoutTimestamp
+        // rejects timestamps <= watermark, so clamp just past it (the
+        // session then closes on the next watermark advance).
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(last + gapMillis, wm + 1))
         Iterator.empty
       }
     }

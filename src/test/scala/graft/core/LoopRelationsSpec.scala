@@ -238,4 +238,25 @@ class LoopRelationsSpec extends AnyFunSuite {
     // single-loop path delegates to Loop relations
     assert(disc200.contains(Polygon.fromLoops(Seq(ring(199)))))
   }
+
+  test("polygon nesting depth when a hole shares a vertex with its shell") {
+    // A hole touching its shell at a vertex is legal S2 geometry; depth
+    // assignment must use the wedge machinery (containsNested), because
+    // point-in-loop parity of a boundary vertex is ill-defined.
+    val shell = Loop.parse("0:0, 0:10, 10:10, 10:0")
+    // Hole shares shell vertex (0,0); other vertices strictly inside.
+    // CW as seen from outside? Keep it normalized (area < 2pi) and CCW:
+    val hole = Loop.parse("0:0, 2:4, 4:2")
+    val poly = Polygon.fromLoops(Seq(shell, hole))
+    assert(poly.loops(0).depth === 0, "shell depth")
+    assert(poly.loops(1).depth === 1, "hole depth")
+    assert(poly.loops(1).isHole)
+    // Interior point away from the hole is contained; a point inside the
+    // hole is not.
+    assert(poly.containsPoint(LatLng.toPointDegrees(8.0, 8.0)))
+    assert(!poly.containsPoint(LatLng.toPointDegrees(1.8, 1.8)))
+    // bound must still be the shell's bound (a flipped depth would drop
+    // the shell from the union)
+    assert(poly.bound.containsLatLng(math.toRadians(9.9), math.toRadians(9.9)))
+  }
 }

@@ -186,7 +186,7 @@ class ShapeIndexSpec extends AnyFunSuite {
       val p = LatLng.toPointDegrees(cLat + rng.nextDouble() * 8 - 4,
         cLng + rng.nextDouble() * 8 - 4)
       val got = (0 until index.numShapes).filter { id =>
-        q.shapeContains(index.shape(id), id, p)
+        q.shapeContains(id, p)
       }.toSet
       val want = (0 until index.numShapes).filter { id =>
         ShapeUtil.containsBruteForce(index.shape(id), p)
