@@ -215,30 +215,61 @@ object SparkEntry {
         .select(col("tx"), col("ty"), col("n_pages"))
     }),
 
-    // Vector side of tiling: S2 cell covering of each city's zoom-12 tile
-    // (raster->vector; rows-only check, covering validity proven in
-    // CovererSpec).
+    // Vector side of tiling: distributed S2 cell covering of every
+    // occupied zoom-12 tile (raster->vector), audited per-tile against
+    // covering invariants the oracle can state independently: the
+    // covering contains the leaf cells of 5 interior sample points of
+    // the tile rect, is canonical, and respects maxCells. The tile set
+    // itself is derived from the data (same derivation as q_tile_z12's
+    // oracle), so the whole row is SQL-checkable.
     "q_tile_covering" -> ((s, dir) => {
-      import s.implicits._
-      val rows = PagesSource.cities.zipWithIndex.flatMap { case ((la, ln), i) =>
-        val tx = graft.core.WebMercator.tileX(ln, 12)
-        val ty = graft.core.WebMercator.tileY(la, 12)
-        graft.core.WebMercator.tileCovering(tx, ty, 12).ids.map { c =>
-          (i.toLong, tx, ty, graft.core.CellId.toToken(c))
+      import graft.functions.S2
+      import graft.core.{WebMercator, CellId, RegionCoverer}
+      val tiles = pages(s, dir)
+        .withColumn("tx", S2.tileX(col("lng"), lit(12)))
+        .withColumn("ty", S2.tileY(col("lat"), lit(12)))
+        .groupBy("tx", "ty").agg(count("*").as("n_pages"))
+        .filter(col("n_pages") >= 2)
+      val auditUdf = udf((tx: Long, ty: Long) => {
+        val cu = WebMercator.tileCovering(tx, ty, 12, maxCells = 8)
+        val r = WebMercator.tileRect(tx, ty, 12).rect
+        val (latC, lngC) = (r.lat.center, r.lng.center)
+        val dLat = (r.lat.hi - r.lat.lo) / 4
+        val dLng = (r.lng.hi - r.lng.lo) / 4
+        val samples = Seq((latC, lngC), (latC - dLat, lngC - dLng),
+          (latC - dLat, lngC + dLng), (latC + dLat, lngC - dLng),
+          (latC + dLat, lngC + dLng))
+        val covered = samples.forall { case (la, ln) =>
+          cu.containsCellId(CellId.fromLatLngDegrees(
+            la * graft.core.LatLng.RadToDeg, ln * graft.core.LatLng.RadToDeg))
         }
-      }
-      rows.toDF("city_id", "tx", "ty", "cell_token")
+        (covered, RegionCoverer(maxCells = 8).isCanonical(cu), cu.size <= 8)
+      })
+      tiles
+        .withColumn("audit", auditUdf(col("tx"), col("ty")))
+        .select(col("tx"), col("ty"), col("n_pages"),
+          col("audit._1").as("covers_samples"),
+          col("audit._2").as("canonical"),
+          col("audit._3").as("within_max"))
     }),
 
-    // Snap rounding: E2 fixed-point lat/lng snap (~1.1 km grid; near-dup
-    // geocode dedup), collision groups with multiplicity.
+    // Snap rounding through the CellIdSnapper (~1.2 km level-13 grid;
+    // near-dup geocode dedup): snap each page to its cell center, then
+    // emit collision groups decoded back to (face, i, j) — integers, so
+    // the oracle's pure-projection SQL derivation is hash-exact. The
+    // Spark path round-trips the Hilbert curve (encode in s2_snap_cell,
+    // decode in s2_i/s2_j); the SQL path never touches it.
     "q_snap_e2" -> ((s, dir) => {
+      import graft.functions.S2
+      val level = 13
       pages(s, dir)
-        .withColumn("slat", round(col("lat") * 1e2) / 1e2)
-        .withColumn("slng", round(col("lng") * 1e2) / 1e2)
-        .groupBy("slat", "slng").agg(count("*").as("n"))
+        .withColumn("snap_cell", S2.snapCell(col("lat"), col("lng"), lit(level)))
+        .groupBy("snap_cell").agg(count("*").as("n"))
         .filter(col("n") >= 2)
-        .select(col("slat"), col("slng"), col("n"))
+        .select(S2.face(col("snap_cell")).cast("long").as("face"),
+          S2.cellI(col("snap_cell"), lit(level)).cast("long").as("si"),
+          S2.cellJ(col("snap_cell"), lit(level)).cast("long").as("sj"),
+          col("n"))
     }),
 
     // Spatial aggregation: centroid of page unit vectors per zoom-8 tile
@@ -452,15 +483,19 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
-    // Multimodal: decode + feature extraction over binary media payloads
-    // (stub codec, real batch plumbing; rows-only).
+    // Multimodal: REAL decode + feature extraction over binary media
+    // payloads (PNG via ImageIO, WAV via javax.sound, PNG-frame video
+    // container). Every feature is a deterministic function of the id,
+    // so the oracle independently derives what a correct decoder must
+    // return.
     "q_multimodal" -> ((s, dir) => {
       val media = graft.ops.Multimodal.synthesize(s, 1000)
       graft.ops.Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("width").cast("long"),
-          col("height").cast("long"), col("channels").cast("long"),
-          col("n_bytes").cast("long"),
-          round(element_at(col("histogram"), 1), 6).as("hist0"))
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"), col("mean0"))
     }),
 
     // Per-row invariant: text survives the whole pipeline byte-identical
@@ -836,12 +871,37 @@ object SparkEntry {
            |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
            |) WHERE rank <= 3""".stripMargin,
 
-      "q_snap_e2" ->
-        s"""$pagesCte
-           |SELECT round(lat * 1e2) / 1e2 AS slat,
-           |       round(lng * 1e2) / 1e2 AS slng,
-           |       count(*) AS n
-           |FROM pts GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      // Same face/i/j derivation as q_cell_agg's oracle but at the snap
+      // level: i_level = floor(s * 2^level) (identical to the engine's
+      // stToIJ at level 30 followed by >> (30-level), exactly, because
+      // floor(floor(s*2^30)/2^17) == floor(s*2^13) for s in [0,1]).
+      "q_snap_e2" -> {
+        val n = 1 << 13
+        s"""$pagesCte, f1 AS (
+           |  SELECT CASE WHEN abs(px) > abs(py)
+           |    THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+           |    ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis,
+           |    px, py, pz FROM pts),
+           | f2 AS (SELECT CASE WHEN axis = 0 AND px < 0 THEN 3
+           |    WHEN axis = 1 AND py < 0 THEN 4
+           |    WHEN axis = 2 AND pz < 0 THEN 5 ELSE axis END AS face,
+           |    px, py, pz FROM f1),
+           | uv AS (SELECT face,
+           |  CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+           |    WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+           |  CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+           |    WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+           |  FROM f2),
+           | st AS (SELECT face,
+           |  CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+           |  CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+           |  FROM uv)
+           |SELECT CAST(face AS BIGINT) AS face,
+           |  CAST(greatest(0, least(${n - 1}, floor(s*$n))) AS BIGINT) AS si,
+           |  CAST(greatest(0, least(${n - 1}, floor(t*$n))) AS BIGINT) AS sj,
+           |  count(*) AS n
+           |FROM st GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+      },
 
       "q_tile_centroid" ->
         s"""$pagesCte
@@ -855,6 +915,147 @@ object SparkEntry {
            |    count(*) AS n, sum(px) AS sx, sum(py) AS sy, sum(pz) AS sz
            |  FROM pts GROUP BY 1, 2
            |) WHERE n >= 5""".stripMargin,
+
+      // Covering invariants per occupied tile: the tile set (and count)
+      // is derived from the data exactly as q_tile_z12's oracle; the
+      // three audited invariants are literal truths of a correct
+      // covering, computed for real by the Spark side.
+      "q_tile_covering" ->
+        s"""$pagesCte
+           |SELECT tx, ty, count(*) AS n_pages,
+           |  TRUE AS covers_samples, TRUE AS canonical, TRUE AS within_max
+           |FROM (
+           |  SELECT
+           |    CAST(greatest(0, least(4095, floor((lng + 180.0)/360.0*4096.0))) AS BIGINT) AS tx,
+           |    CAST(greatest(0, least(4095, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*4096.0))) AS BIGINT) AS ty
+           |  FROM pts
+           |) GROUP BY tx, ty HAVING count(*) >= 2""".stripMargin,
+
+      // Exact all-pairs word-3-gram Jaccard >= 0.6 over the full corpus
+      // + planted copies, via an inverted gram index (pairs sharing no
+      // gram have Jaccard 0 and drop out of the join). The LSH path's
+      // banding provably finds every such pair on this fixture (min
+      // emitted Jaccard 0.75, max bucket 6 << cap), so the approximate
+      // pipeline's output equals the exact pair set.
+      "q_minhash_lsh" ->
+        s"""WITH base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
+           | docs AS (SELECT doc_id, text FROM base
+           |          UNION ALL SELECT doc_id + 100000, text || ' graftdupmarker' FROM base),
+           | grams AS (
+           |   SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           |     for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))]) AS g
+           |   FROM docs),
+           | sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+           | ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+           | inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           |           FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT a_id, b_id,
+           |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6""".stripMargin,
+
+      // Full SimHash reimplementation in SQL: FNV-1a 64 per token (the
+      // fixture is pure ASCII, so codepoints == UTF-8 bytes), 64-bit
+      // majority vote, then exact all-pairs Hamming <= 3. The Spark
+      // side's pigeonhole banding is exact for Hamming <= 3 (any such
+      // pair shares one of 4 16-bit chunks), so the sets are equal.
+      "q_simhash" -> {
+        val fnv = """list_reduce(
+          |  list_prepend(CAST(14695981039346656037 AS UBIGINT),
+          |               [CAST(unicode(c) AS UBIGINT) for c in string_split(w, '')]),
+          |  (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT))""".stripMargin
+        s"""WITH base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
+           | docs AS (SELECT doc_id, text FROM base
+           |          UNION ALL SELECT doc_id + 100000, text || ' graftdupmarker' FROM base),
+           | hs AS (SELECT doc_id, [$fnv for w in string_split(text, ' ')] AS hs FROM docs),
+           | sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT),
+           |   [CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+           |         THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END
+           |    for b in range(0, 64)]), (acc, v) -> CAST(acc + v AS UBIGINT)) AS sh FROM hs)
+           |SELECT CAST(a.doc_id AS BIGINT) AS a_id, CAST(b.doc_id AS BIGINT) AS b_id,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+           |FROM sh a, sh b
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+      },
+
+      // Full hyperplane-LSH reimplementation in SQL: the 16 seeded
+      // hyperplanes are baked as literals (same doubles the engine
+      // broadcasts), signatures and 4-bit band buckets recomputed
+      // independently, candidates re-ranked exactly.
+      "q_ann_lsh" -> {
+        val planes = graft.ops.Similarity.hyperplanes(16, 64, 42)
+        val pv = planes.zipWithIndex.map { case (p, b) =>
+          s"($b, [${p.map(x => f"$x%.17e").mkString(", ")}])"
+        }.mkString(", ")
+        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+           |           FROM read_parquet('$oracleSf/embeddings.parquet')),
+           | planes(bit, p) AS (VALUES $pv),
+           | bits AS (SELECT e.vec_id, planes.bit,
+           |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      [planes.p[i] * e.emb[i] for i in range(1, 65)]), (a, v) -> a + v) >= 0
+           |      THEN CAST(1 AS BIGINT) << planes.bit ELSE CAST(0 AS BIGINT) END AS b
+           |   FROM e CROSS JOIN planes),
+           | sigs AS (SELECT vec_id, CAST(sum(b) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+           | bands(band) AS (VALUES (0), (1), (2), (3)),
+           | cbuck AS (SELECT vec_id, (CAST(band AS BIGINT) << 32) | ((sig >> (band*4)) & 15) AS bucket
+           |           FROM sigs CROSS JOIN bands),
+           | qbuck AS (SELECT vec_id AS q_id, bucket FROM cbuck WHERE vec_id < 16),
+           | cands AS (SELECT DISTINCT q.q_id, c.vec_id
+           |           FROM qbuck q JOIN cbuck c USING (bucket) WHERE c.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT ca.q_id, ca.vec_id,
+           |    CAST(row_number() OVER (PARTITION BY ca.q_id
+           |      ORDER BY list_cosine_similarity(eq.emb, ec.emb) DESC, ca.vec_id ASC) AS BIGINT) AS rank
+           |  FROM cands ca JOIN e eq ON eq.vec_id = ca.q_id JOIN e ec ON ec.vec_id = ca.vec_id)
+           |WHERE rank <= 3""".stripMargin
+      },
+
+      // Full IVF reimplementation in SQL: same deterministic coarse
+      // quantizer (16 lowest-id vectors), argmax assignment with
+      // first-wins ties, nProbe=4 probing, exact re-rank.
+      "q_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+           |           FROM read_parquet('$oracleSf/embeddings.parquet')),
+           | cent AS (SELECT vec_id AS c, emb AS cvec FROM e WHERE vec_id < 16),
+           | assign AS (SELECT vec_id, c FROM (
+           |    SELECT e.vec_id, cent.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.emb, cent.cvec) DESC, cent.c ASC) AS rn
+           |    FROM e CROSS JOIN cent) WHERE rn = 1),
+           | probes AS (SELECT q_id, c FROM (
+           |    SELECT e.vec_id AS q_id, cent.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.emb, cent.cvec) DESC, cent.c ASC) AS rn
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 16) WHERE rn <= 4),
+           | cands AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (c)
+           |           WHERE a.vec_id <> p.q_id)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT ca.q_id, ca.vec_id,
+           |    CAST(row_number() OVER (PARTITION BY ca.q_id
+           |      ORDER BY list_cosine_similarity(eq.emb, ec.emb) DESC, ca.vec_id ASC) AS BIGINT) AS rank
+           |  FROM cands ca JOIN e eq ON eq.vec_id = ca.q_id JOIN e ec ON ec.vec_id = ca.vec_id)
+           |WHERE rank <= 3""".stripMargin,
+
+      // Ground truth for the decoders: payload parameters are pure
+      // integer functions of the id (Multimodal.imageDims etc.); the
+      // means are exact because payloads are constant-valued (sum =
+      // value * n is an exact double, and IEEE division returns the
+      // exact quotient).
+      "q_multimodal" ->
+        s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id)
+           |SELECT CAST(id AS BIGINT) AS media_id,
+           |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |  CAST(CASE id % 3 WHEN 0 THEN 16 + id % 48 WHEN 1 THEN 256 + id % 512
+           |       ELSE 16 + id % 8 END AS BIGINT) AS width,
+           |  CAST(CASE id % 3 WHEN 0 THEN 16 + id % 32 WHEN 1 THEN 1
+           |       ELSE 16 + id % 8 END AS BIGINT) AS height,
+           |  CAST(CASE id % 3 WHEN 1 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           |  CAST(CASE id % 3 WHEN 0 THEN 1 WHEN 1 THEN 256 + id % 512
+           |       ELSE 2 + id % 4 END AS BIGINT) AS n_frames,
+           |  CASE id % 3 WHEN 1 THEN CAST((id % 2000) - 1000 AS DOUBLE)
+           |       ELSE CAST((id * 37) % 256 AS DOUBLE) END AS mean0
+           |FROM ids""".stripMargin,
 
       "q_dedup_exact" ->
         s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count

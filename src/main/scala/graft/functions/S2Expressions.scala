@@ -20,6 +20,37 @@ object S2Expressions {
   final val LL = "graft.core.LatLng"
 }
 
+/** Codegen-reachable Snapper entry point: snap a lat/lng to its S2 cell
+  * at a level through core.CellIdSnapper (builder_snapper.go CellIDSnapper
+  * semantics). Snappers are stateless per level, so one instance per
+  * level is cached for the JVM's lifetime.
+  */
+object SnapperStatics {
+  private val snappers: Array[graft.core.CellIdSnapper] =
+    Array.tabulate(graft.core.CellId.MaxLevel + 1)(graft.core.CellIdSnapper(_))
+  def snapCell(latDeg: Double, lngDeg: Double, level: Int): Long =
+    snappers(level).snapToCell(graft.core.LatLng.toPointDegrees(latDeg, lngDeg))
+}
+
+/** s2_snap_cell(latDeg, lngDeg, level) -> snapped cell id at the level
+  * (the CellIdSnapper snap function in columnar form).
+  */
+case class S2SnapCellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lat: Any, lng: Any, level: Any): Any =
+    SnapperStatics.snapCell(lat.asInstanceOf[Double], lng.asInstanceOf[Double],
+      level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.SnapperStatics.snapCell($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "s2_snap_cell"
+}
+
 /** s2_cellid(latDeg, lngDeg) -> level-30 leaf cell id. */
 case class S2CellIdExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -355,6 +386,8 @@ object S2 {
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
   def cellId(lat: Column, lng: Column): Column = col(S2CellIdExpr(expr(lat), expr(lng)))
+  def snapCell(lat: Column, lng: Column, level: Column): Column =
+    col(S2SnapCellExpr(expr(lat), expr(lng), expr(level)))
   def parent(cell: Column, level: Column): Column = col(S2ParentExpr(expr(cell), expr(level)))
   def level(cell: Column): Column = col(S2LevelExpr(expr(cell)))
   def token(cell: Column): Column = col(S2TokenExpr(expr(cell)))
@@ -400,5 +433,7 @@ object S2 {
     add2("s2_neighbors", S2NeighborsExpr)
     reg.createOrReplaceTempFunction("s2_distance",
       es => S2DistanceExpr(es.toSeq), "builtin")
+    reg.createOrReplaceTempFunction("s2_snap_cell",
+      es => S2SnapCellExpr(es(0), es(1), es(2)), "builtin")
   }
 }

@@ -148,32 +148,48 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 2.0 / 4.0) < 1e-15)
   }
 
-  test("multimodal: synthesize -> decode -> features round trips") {
+  test("multimodal: real codecs round-trip synthesize -> decode -> features") {
     val media = Multimodal.synthesize(spark, 300)
     val features = Multimodal.extractFeatures(media).collect()
-    assert(features.length === 300) // stub decode never fails on synthetic
-    for (f <- features.take(50)) {
-      assert(Seq("image", "audio", "video").contains(f.kind))
-      assert(f.width >= 16 && f.height >= 16)
-      assert(f.histogram.length === 16)
-      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    assert(features.length === 300) // every payload decodes
+    for (f <- features) {
+      f.kind match {
+        case "image" =>
+          val (w, h) = Multimodal.imageDims(f.media_id)
+          assert((f.width, f.height, f.channels, f.n_frames) === ((w, h, 3, 1)))
+          assert(f.mean0 === Multimodal.imageColor(f.media_id)._1.toDouble)
+        case "audio" =>
+          assert(f.width === Multimodal.audioSamples(f.media_id))
+          assert((f.height, f.channels) === ((1, 1)))
+          assert(f.mean0 === Multimodal.audioAmplitude(f.media_id).toDouble)
+        case "video" =>
+          val side = Multimodal.videoSide(f.media_id)
+          assert((f.width, f.height, f.channels) === ((side, side, 3)))
+          assert(f.n_frames === Multimodal.videoFrames(f.media_id))
+          assert(f.mean0 === Multimodal.imageColor(f.media_id)._1.toDouble)
+      }
     }
     // determinism across partitions
     val again = Multimodal.extractFeatures(Multimodal.synthesize(spark, 300, 3))
       .collect().sortBy(_.media_id)
-    val first = features.sortBy(_.media_id)
-    assert(first.zip(again).forall { case (a, b) =>
-      a.media_id == b.media_id && a.histogram.sameElements(b.histogram)
-    })
-    // corrupted payload is rejected, not crashed
-    assert(Multimodal.decodeStub(Array[Byte](1, 2, 3)) === None)
-    assert(Multimodal.decodeStub(Array.fill(32)(0x7f.toByte)) === None)
+    assert(features.sortBy(_.media_id).toSeq === again.toSeq)
+    // corrupted payloads are rejected, not crashed
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.decodeWav(Array.fill(32)(0x7f.toByte)) === None)
+    assert(Multimodal.videoFramePayloads(Array[Byte](9, 9, 9, 9, 0)) === None)
   }
 
-  test("resize + frame sampling stubs are deterministic and bounded") {
-    val m = Multimodal.MediaMeta("image", 640, 480, 3)
-    assert(Multimodal.resizeDims(m, 320) === ((320, 240)))
-    assert(Multimodal.resizeDims(m, 1000) === ((640, 480)))
+  test("resize + frame sampling use the real image pipeline") {
+    val png = Multimodal.encodePng(64, 48, (200, 10, 30))
+    val resized = Multimodal.resizeImage(png, 32).get
+    val Some((w, h, bands, mean)) = Multimodal.decodeImage(resized)
+    assert((w, h, bands) === ((32, 24, 3)))
+    assert(mean === 200.0) // solid color survives resampling exactly
+    assert(Multimodal.resizeImage(png, 100).get eq png) // no upscale
+    // video frame sampling decodes every other frame
+    val frames = (0 until 4).map(f => Multimodal.encodePng(16, 16, (f * 10, 0, 0)))
+    val sampled = Multimodal.sampleFrames(Multimodal.encodeVideo(frames), 2)
+    assert(sampled.toSeq === Seq((16, 16, 3, 0.0), (16, 16, 3, 20.0)))
     assert(Multimodal.frameOffsets(10, 3).toSeq === Seq(0, 3, 6, 9))
   }
 }
