@@ -473,6 +473,41 @@ object SparkEntry {
           col("hit._3").cast("long").as("rank"))
     }),
 
+    // Edge FARTHEST: for each city center, the 3 farthest trajectory
+    // segments via FurthestEdgeQuery (max-distance mirror of q_edge_knn;
+    // diameter/spread analytics access path).
+    "q_edge_far" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val lines = trajectoryLines
+      val queries = PagesSource.cities.zipWithIndex
+        .map { case ((la, ln), i) => (i.toLong, la, ln) }
+        .toDF("query_id", "q_lat", "q_lng")
+      val bc = s.sparkContext.broadcast(lines)
+      val farUdf = udf((lat: Double, lng: Double) => {
+        val index = graft.ops.IndexCache.forPolylines(bc)
+        val q = new FurthestEdgeQuery(index, includeInteriors = false)
+        q.findFurthestEdges(
+          FurthestEdgeQuery.PointTarget(LatLng.toPointDegrees(lat, lng)), 3)
+          .zipWithIndex.map { case (r, rank) =>
+            (bc.value(r.shapeId)._1, r.edgeId, rank + 1)
+          }
+      })
+      queries
+        .withColumn("hit", explode(farUdf(col("q_lat"), col("q_lng"))))
+        .select(col("query_id"), col("hit._1").as("line_id"),
+          col("hit._2").cast("long").as("seg_id"),
+          col("hit._3").cast("long").as("rank"))
+    }),
+
+    // Shuffle-path PIP join (the non-broadcast plan for dimension tables
+    // too large to broadcast): same semantics and oracle as q_pip_city,
+    // forced through the cell-level equi-join + exact refine path.
+    "q_pip_shuffle" -> ((s, dir) => {
+      graft.ops.ShuffleSpatialJoin.pipJoinLarge(s, pages(s, dir), cityPolygons)
+        .select(col("url"), col("poly_id"))
+    }),
+
     // ANN scale path 2: IVF inverted lists (coarse quantizer + nProbe
     // probing; rows-only check, recall asserted in DedupSpec).
     "q_ann_ivf" -> ((s, dir) => {
@@ -660,7 +695,16 @@ object SparkEntry {
     * ranked per query with the engine's (distance, line, segment)
     * tie-break.
     */
-  private def edgeKnnSql: String = {
+  private def edgeKnnSql: String = edgeRankSql(negateQueries = false)
+
+  /** Same ranking SQL for the FARTHEST query: the farthest point of an
+    * arc from p is the closest point to -p (max angle = Pi - min angle
+    * to the antipode, edge_distances.go:60-72), so ranking by ascending
+    * min-distance of the NEGATED city point reproduces the descending
+    * max-distance order, with identical (line_id, seg_id) tie-breaks.
+    */
+  private def edgeRankSql(negateQueries: Boolean): String = {
+    val sgn = if (negateQueries) -1.0 else 1.0
     val segs = trajectoryLines.flatMap { case (lineId, pl) =>
       (1 until pl.vertices.length).map { k =>
         val a = pl.vertices(k - 1)
@@ -669,7 +713,7 @@ object SparkEntry {
       }
     }.mkString(", ")
     val qs = PagesSource.cities.zipWithIndex.map { case ((la, ln), i) =>
-      val p = LatLng.toPointDegrees(la, ln)
+      val p = LatLng.toPointDegrees(la, ln) * sgn
       f"($i, ${p.x}%.17e, ${p.y}%.17e, ${p.z}%.17e)"
     }.mkString(", ")
     s"""WITH seg(line_id, seg_id, ax, ay, az, bx, byy, bz) AS (VALUES $segs),
@@ -704,6 +748,13 @@ object SparkEntry {
     val polys = cityPolygons
     Map(
       "q_edge_knn" -> edgeKnnSql,
+      "q_edge_far" -> edgeRankSql(negateQueries = true),
+      "q_pip_shuffle" -> {
+        val branches = polys.map { case (id, loop) =>
+          s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
       "q_poly_overlap" -> polyOverlapSql,
       "q_pip_coast" -> pipCoastSql,
       "q_crossing" -> crossingSql,

@@ -113,6 +113,20 @@ object CellId {
     out
   }
 
+  /** The cell's level-`level` descendants (the denormalize(level) fan-out
+    * of one cell), or its level-`level` ancestor when the cell is finer.
+    */
+  def cellsAtLevel(id: Long, targetLevel: Int): Array[Long] = {
+    if (level(id) >= targetLevel) return Array(parent(id, targetLevel))
+    val n = (1L << (2 * (targetLevel - level(id)))).toInt
+    val out = new Array[Long](n)
+    var c = childBeginAtLevel(id, targetLevel)
+    val step = lsbForLevel(targetLevel) << 1
+    var i = 0
+    while (i < n) { out(i) = c; c += step; i += 1 }
+    out
+  }
+
   def rangeMin(id: Long): Long = id - (lsb(id) - 1)
   def rangeMax(id: Long): Long = id + (lsb(id) - 1)
 

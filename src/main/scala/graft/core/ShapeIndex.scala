@@ -55,6 +55,16 @@ final case class PolylineShape(polyline: Polyline) extends Shape {
   def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
 }
 
+/** A set of points as a dimension-0 shape: edge e is the degenerate edge
+  * (point e, point e) (shape.go PointVector semantics).
+  */
+final case class PointVectorShape(points: Array[Vec3]) extends Shape {
+  def numEdges: Int = points.length
+  def edge(e: Int): (Vec3, Vec3) = (points(e), points(e))
+  def dimension: Int = 0
+  def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
+}
+
 /** O(n) containment from a shape's reference point
   * (shapeutil.go:213-230).
   */

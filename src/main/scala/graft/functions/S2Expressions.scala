@@ -225,6 +225,25 @@ case class S2CellContainsExpr(left: Expression, right: Expression)
   override def prettyName: String = "s2_cell_contains"
 }
 
+/** s2_cells_at(cell, level) -> the cell's descendants at the level (or
+  * its ancestor when already finer): executor-side covering
+  * denormalization for the shuffle-path spatial joins.
+  */
+case class S2CellsAtExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(id: Any, level: Any): Any =
+    new GenericArrayData(
+      graft.core.CellId.cellsAtLevel(id.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${S2Expressions.K}.cellsAtLevel($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "s2_cells_at"
+}
+
 /** s2_neighbors(cell, level) -> array of all neighbor cells at level. */
 case class S2NeighborsExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -403,6 +422,8 @@ object S2 {
     col(S2CellContainsExpr(expr(anc), expr(cell)))
   def neighbors(cell: Column, level: Column): Column =
     col(S2NeighborsExpr(expr(cell), expr(level)))
+  def cellsAt(cell: Column, level: Column): Column =
+    col(S2CellsAtExpr(expr(cell), expr(level)))
   def distance(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
     col(S2DistanceExpr(Seq(expr(lat1), expr(lng1), expr(lat2), expr(lng2))))
   def tileX(lng: Column, zoom: Column): Column = col(TileXExpr(expr(lng), expr(zoom)))
@@ -431,6 +452,7 @@ object S2 {
     add1("s2_range_max", S2RangeMaxExpr)
     add2("s2_cell_contains", S2CellContainsExpr)
     add2("s2_neighbors", S2NeighborsExpr)
+    add2("s2_cells_at", S2CellsAtExpr)
     reg.createOrReplaceTempFunction("s2_distance",
       es => S2DistanceExpr(es.toSeq), "builtin")
     reg.createOrReplaceTempFunction("s2_snap_cell",

@@ -61,22 +61,27 @@ object ShuffleSpatialJoin {
   def polygonDimTable(spark: SparkSession, polygons: Seq[(Long, Loop)],
                       level: Int, maxCells: Int = 32): DataFrame = {
     import spark.implicits._
+    import graft.functions.S2
     val coverer = RegionCoverer(maxCells = maxCells)
+    // Only the NORMALIZED covering rides from the driver (<= 2*maxCells
+    // rows per polygon); the level-k fan-out — up to the maxDimRows
+    // budget — happens executor-side via s2_cells_at + explode. Shipping
+    // the denormalized table from the driver was a 9 MB task closure for
+    // 8 city polygons and a driver OOM at a real dimension-table scale.
     val rows = polygons.flatMap { case (id, loop) =>
       val covering = coverer.covering(loop)
       val interior = coverer.interiorCovering(loop)
       val boundary = covering.difference(interior)
-      def atLevel(cu: CellUnion, isInterior: Boolean) =
-        cu.denormalize(level, 1).ids.map { c =>
-          val lvl = CellId.level(c) // >= level after denormalize
-          // A finer-than-k cell rolls up to its level-k parent, but the
-          // parent is NOT fully interior — force the refine in that case.
-          (CellId.parent(c, level), id, isInterior && lvl == level)
-        }
-      (atLevel(interior, isInterior = true) ++ atLevel(boundary, isInterior = false))
-        .distinct
+      interior.ids.map(c => (c, id, true)) ++
+        boundary.ids.map(c => (c, id, false))
     }
-    rows.toDF("cell_lk", "poly_id", "is_interior")
+    rows.toDF("cell", "poly_id", "covering_interior")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cell_lk", explode(S2.cellsAt(col("cell"), lit(level))))
+      // A finer-than-k covering cell rolls UP to its level-k parent; the
+      // parent is then not fully interior, so force the refine.
+      .withColumn("is_interior",
+        col("covering_interior") && S2.level(col("cell")) <= lit(level))
       // a polygon may touch the same level-k cell with both interior and
       // boundary sub-cells; keep interior=false in that case (must refine)
       .groupBy("cell_lk", "poly_id")

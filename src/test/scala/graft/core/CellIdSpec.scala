@@ -61,6 +61,19 @@ class CellIdSpec extends AnyFunSuite {
       assert(CellId.fromToken(bad) === 0L, s"fromToken($bad)")
   }
 
+  test("cellsAtLevel enumerates exactly the level-k descendants in order") {
+    val id = CellId.parent(CellId.fromLatLngDegrees(40.7, -74.0), 8)
+    for (target <- 8 to 12) {
+      val got = CellId.cellsAtLevel(id, target)
+      assert(got.length === (1L << (2 * (target - 8))).toInt)
+      assert(got.forall(c => CellId.level(c) == target && CellId.contains(id, c)))
+      assert(got.toSeq === got.sorted(Ordering.fromLessThan[Long](
+        java.lang.Long.compareUnsigned(_, _) < 0)).toSeq)
+    }
+    // finer than target: rolls up to the ancestor
+    assert(CellId.cellsAtLevel(id, 5).toSeq === Seq(CellId.parent(id, 5)))
+  }
+
   test("parent/child relationships (cellid_test.go:47-100)") {
     val ci = CellId.fromFacePosLevel(3, 0x12345678L, CellId.MaxLevel - 4)
     assert(CellId.isValid(ci))
