@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    groupBy(bucket) shuffle done once, query fan-out is
   *    O(bands x bucket size) per query instead of O(corpus).
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Exact top-k by cosine: broadcast the (small) query set against the
     * corpus, re-rank with a per-query window. Ties broken by corpus id.
@@ -56,36 +56,91 @@ object Similarity {
     sig
   }
 
+  /** Lloyd refinement of the deterministic lowest-id quantizer: assign
+    * the corpus to its nearest centroid (one distributed pass), recompute
+    * each centroid as the member mean per dimension (posexplode +
+    * groupBy(centroid, dim) — a bounded nCentroids x dim aggregate, never
+    * a per-centroid collect), repeat. Empty clusters keep their previous
+    * centroid. Deterministic up to float-summation order, which a recall
+    * threshold is insensitive to.
+    */
+  def kmeansCentroids(spark: SparkSession, corpus: DataFrame,
+                      nCentroids: Int, iters: Int,
+                      corpusId: String = "vec_id",
+                      corpusVec: String = "embedding"): Array[Array[Float]] = {
+    var cents = corpus
+      .select(col(corpusId), col(corpusVec))
+      .orderBy(col(corpusId))
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf((v: Seq[Float]) => {
+        val vec = v.toArray
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < bc.value.length) {
+          val s = cosineArr(vec, bc.value(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        best
+      })
+      val sums = corpus
+        .withColumn("centroid", assignUdf(col(corpusVec)))
+        .select(col("centroid"), posexplode(col(corpusVec)).as(Seq("dim", "v")))
+        .groupBy("centroid", "dim")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        next(c)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nCentroids inverted lists (one shuffle keyed by centroid);
     * each query probes its nProbe nearest centroids and re-ranks exactly
     * inside those lists — candidate work is O(corpus * nProbe /
     * nCentroids) per query instead of O(corpus).
     *
-    * The quantizer is deterministic (the nCentroids lowest-id corpus
-    * vectors): k-means would tighten recall but costs iterations; the
-    * plan shape — bounded centroid broadcast, single corpus assignment
-    * pass, per-query probe fan-out — is identical.
+    * The base quantizer is deterministic (the nCentroids lowest-id
+    * corpus vectors; the shape the SQL oracle mirrors).
+    * kmeansIters > 0 runs that many Lloyd refinements over the corpus
+    * first — tighter recall for the cost of kmeansIters extra
+    * distributed passes; plan shape is unchanged.
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
-    val centroids = corpus
-      .select(col(corpusId), col(corpusVec))
-      .orderBy(col(corpusId))
-      .limit(nCentroids)
-      .collect()
-      .map(r => r.getSeq[Float](1).toArray)
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(spark, corpus, nCentroids, kmeansIters, corpusId, corpusVec)
+      else corpus
+        .select(col(corpusId), col(corpusVec))
+        .orderBy(col(corpusId))
+        .limit(nCentroids)
+        .collect()
+        .map(r => r.getSeq[Float](1).toArray)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
-    }
+    def cosine(a: Array[Float], b: Array[Float]): Double = cosineArr(a, b)
 
     val assignUdf = udf((v: Seq[Float]) => {
       val vec = v.toArray

@@ -141,6 +141,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall collapsed")
   }
 
+  test("k-means refinement lifts IVF recall@3 to >= 0.9") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfTopK(spark, emb, queries, k = 3,
+      nProbe = 6, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(refined.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"refined IVF recall@3 $recall below 0.9")
+    // and strictly at least as good as the unrefined quantizer at the
+    // same probe budget
+    val base = Similarity.ivfTopK(spark, emb, queries, k = 3, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseRecall = brute.count(base.contains).toDouble / brute.size
+    assert(recall >= baseRecall,
+      s"k-means recall $recall below unrefined $baseRecall")
+  }
+
   test("ngram jaccard matches hand-computed value") {
     assert(Dedup.ngramJaccard("a b c d", "a b c d", 3) === 1.0)
     // "a b c d e" 3-grams: {abc, bcd, cde}; "a b c d x": {abc, bcd, cdx}
