@@ -42,11 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     add1(ext, "s2_range_max", S2RangeMaxExpr)
     add2(ext, "s2_cell_contains", S2CellContainsExpr)
     add2(ext, "s2_neighbors", S2NeighborsExpr)
+    add2(ext, "s2_cells_at", S2CellsAtExpr)
+    add2(ext, "vec_dot", VecDotExpr)
+    add1(ext, "vec_norm2", VecNorm2Expr)
     add2(ext, "tile_x", TileXExpr)
     add2(ext, "tile_y", TileYExpr)
     add1(ext, "geo_lat", GeoLatExpr)
     add1(ext, "geo_lng", GeoLngExpr)
     ext.injectFunction((FunctionIdentifier("s2_distance"), info("s2_distance"),
       (es: Seq[Expression]) => S2DistanceExpr(es.toList)))
+    ext.injectFunction((FunctionIdentifier("s2_snap_cell"), info("s2_snap_cell"),
+      (es: Seq[Expression]) => S2SnapCellExpr(es(0), es(1), es(2))))
   }
 }

@@ -116,7 +116,11 @@ object ShuffleSpatialJoin {
       ShuffleSpatialJoin.cachedLoop(geom)
         .containsPoint(LatLng.toPointDegrees(lat, lng)))
 
-    val candidates = pts.join(dim, "cell_lk")
+    // The dim side is by definition too large to broadcast (that case is
+    // SpatialJoin.pipJoin); pin the sort-merge plan so tiny test inputs
+    // exercise the same join the operator exists for, and AQE's skew
+    // handling applies to hot cells.
+    val candidates = pts.join(dim.hint("merge"), "cell_lk")
     val interiorHits = candidates.filter(col("is_interior"))
       .drop("cell_lk", "is_interior")
     // Only boundary candidates need geometry (AQE picks broadcast vs

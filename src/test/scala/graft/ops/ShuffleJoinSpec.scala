@@ -33,6 +33,38 @@ class ShuffleJoinSpec extends AnyFunSuite {
     assert(shuffleRows === broadcastRows)
   }
 
+  test("shuffle path plans the candidate join as sort-merge, not broadcast") {
+    val pages = graft.sources.PagesSource.withLatLng(
+      spark.read.parquet(
+        graft.sources.PagesSource.pagesParquet(spark, "/root/testdata/sf0.001")))
+    val df = ShuffleSpatialJoin.pipJoinLarge(spark, pages,
+      graft.SparkEntry.cityPolygons)
+    df.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.joins._
+    var smj = 0
+    var broadcastOnCell = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case j: SortMergeJoinExec =>
+        smj += 1; j.children.foreach(walk)
+      case j: BroadcastHashJoinExec =>
+        // the per-polygon geometry join may broadcast (8 rows); the
+        // cell_lk candidate join must not
+        if (j.leftKeys.exists(_.toString.contains("cell_lk")) ||
+            j.rightKeys.exists(_.toString.contains("cell_lk")))
+          broadcastOnCell += 1
+        j.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(smj >= 1, "candidate join must be a sort-merge join")
+    assert(broadcastOnCell === 0,
+      "the dim side of the cell_lk join must never broadcast")
+  }
+
   test("level choice shrinks with tighter row budgets") {
     val coverer = graft.core.RegionCoverer(maxCells = 32)
     val covs = graft.SparkEntry.cityPolygons.map(p => coverer.covering(p._2))
