@@ -500,6 +500,26 @@ object SparkEntry {
           col("hit._3").cast("long").as("rank"))
     }),
 
+    // Trajectory similarity: pairwise dynamic-timewarp alignment cost
+    // (PolylineAlignment.exactVertexAlignmentCost) over all trajectory
+    // pairs, distributed as a pair table + broadcast lines. Costs are
+    // rounded to 9 decimals in both systems: DuckDB contracts a*b+c
+    // into FMA, so raw doubles differ in the last ulp.
+    "q_dtw" -> ((s, dir) => {
+      import s.implicits._
+      val lines = trajectoryLines
+      val bc = s.sparkContext.broadcast(lines.toMap)
+      val pairsDf = (for {
+        i <- lines.indices; j <- lines.indices if i < j
+      } yield (lines(i)._1, lines(j)._1)).toDF("a_id", "b_id")
+      val dtwUdf = udf((aId: Long, bId: Long) =>
+        graft.core.PolylineAlignment.exactVertexAlignmentCost(
+          bc.value(aId), bc.value(bId)))
+      pairsDf
+        .withColumn("dtw_cost", round(dtwUdf(col("a_id"), col("b_id")), 9))
+        .select(col("a_id"), col("b_id"), col("dtw_cost"))
+    }),
+
     // Shuffle-path PIP join (the non-broadcast plan for dimension tables
     // too large to broadcast): same semantics and oracle as q_pip_city,
     // forced through the cell-level equi-join + exact refine path.
@@ -744,11 +764,59 @@ object SparkEntry {
        |  FROM d) WHERE rank <= 3""".stripMargin
   }
 
+  /** Oracle for the DTW query: the full dynamic-timewarp DP re-run in
+    * SQL — vertex unit vectors baked as literals, the DP table iterated
+    * by a recursive CTE (one row per DP row), each row's costs built by
+    * a left-to-right list fold (left/diag/up recurrence identical to
+    * polyline_alignment.go:442-470). Costs rounded to 9 decimals on both
+    * sides (DuckDB fuses a*b+c into FMA, so raw doubles differ by ulps).
+    */
+  private def dtwSql: String = {
+    val vals = trajectoryLines.flatMap { case (id, pl) =>
+      pl.vertices.zipWithIndex.map { case (v, k) =>
+        f"($id, $k, ${v.x}%.17e, ${v.y}%.17e, ${v.z}%.17e)"
+      }
+    }.mkString(", ")
+    def dist(i: String) = {
+      val jx = "CAST(jl[1] AS INT)"
+      s"sqrt(((al[$i].x - bl[$jx].x)*(al[$i].x - bl[$jx].x)" +
+        s" + (al[$i].y - bl[$jx].y)*(al[$i].y - bl[$jx].y))" +
+        s" + (al[$i].z - bl[$jx].z)*(al[$i].z - bl[$jx].z))"
+    }
+    s"""WITH RECURSIVE v(line_id, idx, x, y, z) AS (VALUES $vals),
+       | lists AS (SELECT line_id, list(struct_pack(x := x, y := y, z := z) ORDER BY idx) AS l
+       |           FROM v GROUP BY line_id),
+       | pairs AS (SELECT a.line_id AS a_id, b.line_id AS b_id, a.l AS al, b.l AS bl
+       |           FROM lists a, lists b WHERE a.line_id < b.line_id),
+       | dp AS (
+       |   SELECT a_id, b_id, al, bl, 1 AS row,
+       |     list_reduce(
+       |       list_prepend(CAST([] AS DOUBLE[]), [[CAST(j AS DOUBLE)] for j in range(1, len(bl)+1)]),
+       |       (acc, jl) -> list_append(acc,
+       |         ${dist("1")} + CASE WHEN jl[1] > 1 THEN acc[len(acc)] ELSE 0 END)) AS costs
+       |   FROM pairs
+       |   UNION ALL
+       |   SELECT a_id, b_id, al, bl, row + 1,
+       |     list_reduce(
+       |       list_prepend(CAST([] AS DOUBLE[]), [[CAST(j AS DOUBLE)] for j in range(1, len(bl)+1)]),
+       |       (acc, jl) -> list_append(acc,
+       |         ${dist("row + 1")} + least(
+       |             CASE WHEN jl[1] > 1 THEN costs[CAST(jl[1] AS INT) - 1] ELSE 1e308 END,
+       |             costs[CAST(jl[1] AS INT)],
+       |             CASE WHEN jl[1] > 1 THEN acc[len(acc)] ELSE 1e308 END)))
+       |   FROM dp WHERE row < len(al)
+       | )
+       |SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       |  round(costs[len(costs)], 9) AS dtw_cost
+       |FROM dp WHERE row = len(al)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val polys = cityPolygons
     Map(
       "q_edge_knn" -> edgeKnnSql,
       "q_edge_far" -> edgeRankSql(negateQueries = true),
+      "q_dtw" -> dtwSql,
       "q_pip_shuffle" -> {
         val branches = polys.map { case (id, loop) =>
           s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
