@@ -62,7 +62,8 @@ final class ClosestEdgeQuery(index: ShapeIndex,
   import ClosestEdgeQuery._
 
   private lazy val totalEdges =
-    (0 until index.numShapes).map(index.shape(_).numEdges).sum
+    (0 until index.numShapes).iterator
+      .map(id => Option(index.shape(id)).map(_.numEdges).getOrElse(0)).sum
 
   /** The k closest edges within distanceLimit (squared chord), sorted by
     * (distance, shapeId, edgeId) with ties broken deterministically.
@@ -110,7 +111,7 @@ final class ClosestEdgeQuery(index: ShapeIndex,
     }
 
     if (totalEdges <= maxBruteForceEdges) {
-      for (shapeId <- 0 until index.numShapes)
+      for (shapeId <- 0 until index.numShapes if index.shape(shapeId) != null)
         scanEdges(shapeId, (0 until index.shape(shapeId).numEdges).iterator)
     } else {
       // Best-first over index cells with exact per-cell lower bounds.

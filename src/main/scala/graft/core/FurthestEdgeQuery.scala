@@ -64,7 +64,8 @@ final class FurthestEdgeQuery(index: ShapeIndex,
   import FurthestEdgeQuery._
 
   private lazy val totalEdges =
-    (0 until index.numShapes).map(index.shape(_).numEdges).sum
+    (0 until index.numShapes).iterator
+      .map(id => Option(index.shape(id)).map(_.numEdges).getOrElse(0)).sum
 
   /** The k furthest edges with distance above distanceLimit (squared
     * chord), sorted by (distance DESC, shapeId, edgeId) with ties broken
@@ -112,7 +113,7 @@ final class FurthestEdgeQuery(index: ShapeIndex,
     }
 
     if (totalEdges <= maxBruteForceEdges) {
-      for (shapeId <- 0 until index.numShapes)
+      for (shapeId <- 0 until index.numShapes if index.shape(shapeId) != null)
         scanEdges(shapeId, (0 until index.shape(shapeId).numEdges).iterator)
     } else {
       // Best-first over index cells with exact per-cell UPPER bounds,

@@ -137,21 +137,87 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
   val CellPadding: Double = 2.0 * (FaceClipErrorUVCoord + EdgeClipErrorUVCoord)
 
   private val shapesBuf = scala.collection.mutable.ArrayBuffer[Shape]()
-  private var built = false
-  private val cellsBuf = scala.collection.mutable.ArrayBuffer[Long]()
+  private var fresh = false
+  // Shapes indexed by previous update rounds have ids below this; ids at
+  // or above it are pending additions (shapeindex.go pendingAdditionsPos).
+  private var pendingAdditionsPos = 0
+  private final class RemovedShape(val shapeId: Int, val hasInterior: Boolean,
+                                   val containsTrackerOrigin: Boolean,
+                                   val edges: Array[(Vec3, Vec3)])
+  private val pendingRemovals =
+    scala.collection.mutable.ArrayBuffer[RemovedShape]()
+  // Live cell store in unsigned Hilbert order; `cells` is the snapshot
+  // the (binary-search) iterator reads, refreshed after each update.
+  private val cellTree = new java.util.TreeMap[java.lang.Long, ShapeIndexCell](
+    new java.util.Comparator[java.lang.Long] {
+      def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
   private[core] var cells: Array[Long] = Array.empty
-  private val cellMap = scala.collection.mutable.HashMap[Long, ShapeIndexCell]()
 
-  def add(shape: Shape): Int = {
-    require(!built, "batch index: add all shapes before first query")
+  /** Queue a shape for (lazy, batched) addition; applied on first query
+    * (shapeindex.go:740-745).
+    */
+  def add(shape: Shape): Int = synchronized {
     shapesBuf += shape
+    fresh = false
     shapesBuf.length - 1
   }
 
+  /** Queue a shape for (lazy, batched) removal (shapeindex.go:748-781;
+    * the reference documents this algorithm but leaves
+    * removeShapeInternal an empty TODO and never applies it — here the
+    * documented batch-update path is implemented in full). The removed
+    * id stays vacant; shape(id) returns null for it.
+    */
+  def remove(shapeId: Int): Unit = synchronized {
+    val s = shapesBuf(shapeId)
+    if (s == null) return
+    shapesBuf(shapeId) = null
+    fresh = false
+    // Removing a shape that was never indexed needs no update entry.
+    if (shapeId >= pendingAdditionsPos) return
+    pendingRemovals += new RemovedShape(shapeId, s.dimension == 2,
+      ShapeUtil.containsBruteForce(s, STUV.faceUVToXYZ(0, -1, -1).normalize),
+      Array.tabulate(s.numEdges)(s.edge))
+  }
+
+  /** Force pending updates to be applied now (shapeindex.go Build). */
+  def build(): Unit = maybeBuild()
+
+  /** Whether there are no pending updates (shapeindex.go IsFresh). */
+  def isFresh: Boolean = fresh
+
   def numShapes: Int = shapesBuf.length
+  /** The shape with the given id, or null if it was removed. */
   def shape(id: Int): Shape = shapesBuf(id)
 
-  def cellFor(id: Long): ShapeIndexCell = cellMap(id)
+  def cellFor(id: Long): ShapeIndexCell = cellTree.get(id)
+
+  private def isShapeBeingRemoved(shapeId: Int): Boolean =
+    shapeId < pendingAdditionsPos && shapesBuf(shapeId) == null
+
+  /** Cell relation of target against the LIVE cell tree (used mid-update,
+    * when the `cells` snapshot is stale): returns (relation, containing
+    * cell id when Indexed).
+    */
+  private def locateCellIdLive(target: Long): (Int, Long) = {
+    import java.lang.{Long => JL}
+    val ceil = cellTree.ceilingKey(CellId.rangeMin(target))
+    if (ceil != null) {
+      val c = ceil.longValue()
+      if (JL.compareUnsigned(c, target) >= 0 &&
+        JL.compareUnsigned(CellId.rangeMin(c), target) <= 0)
+        return (CellRelation.Indexed, c)
+      if (JL.compareUnsigned(c, CellId.rangeMax(target)) <= 0)
+        return (CellRelation.Subdivided, 0L)
+    }
+    val floor = cellTree.lowerKey(CellId.rangeMin(target))
+    if (floor != null &&
+      JL.compareUnsigned(CellId.rangeMax(floor.longValue()), target) >= 0)
+      return (CellRelation.Indexed, floor.longValue())
+    (CellRelation.Disjoint, 0L)
+  }
 
   // --- build ---------------------------------------------------------
 
@@ -195,28 +261,67 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
     def toggleShape(shapeId: Int): Unit =
       shapeIds = if (shapeIds.contains(shapeId)) shapeIds.filterNot(_ == shapeId)
         else (shapeId :: shapeIds).sorted
+
+    // Ids below the limit (previously-indexed shapes absorbed from an
+    // existing cell) are parked while a subtree is reprocessed, and
+    // restored afterwards (shapeindex.go tracker:523-537).
+    private var savedIds: List[Int] = Nil
+    def saveAndClearStateBefore(limit: Int): Unit = {
+      savedIds = shapeIds.filter(_ < limit)
+      shapeIds = shapeIds.filter(_ >= limit)
+    }
+    def restoreStateBefore(limit: Int): Unit = {
+      shapeIds = savedIds ++ shapeIds.filter(_ >= limit)
+      savedIds = Nil
+    }
   }
 
+  /** Apply all pending additions and removals as one batch
+    * (shapeindex.go applyUpdatesInternal). The first update is the plain
+    * batch build; later updates merge with the existing cells by
+    * absorbing any index cell the recursion encounters.
+    */
   private[core] def maybeBuild(): Unit = synchronized {
-    if (built) return
+    if (fresh) return
+    val firstUpdate = pendingAdditionsPos == 0
     val t = new Tracker
     val allEdges = Array.fill(6)(scala.collection.mutable.ArrayBuffer[FaceEdge]())
-    for (shapeId <- shapesBuf.indices) {
-      val s = shapesBuf(shapeId)
-      val hasInterior = s.dimension == 2
-      if (hasInterior)
-        t.addShape(shapeId, ShapeUtil.containsBruteForce(s, t.focus))
+    // Removals first (their ids precede every pending addition, keeping
+    // each face's edge list sorted by shape id for the cell merge).
+    for (r <- pendingRemovals.sortBy(_.shapeId)) {
+      if (r.hasInterior) t.addShape(r.shapeId, r.containsTrackerOrigin)
       var e = 0
-      while (e < s.numEdges) {
-        val (v0, v1) = s.edge(e)
-        addFaceEdge(shapeId, e, hasInterior, v0, v1, allEdges)
+      while (e < r.edges.length) {
+        val (v0, v1) = r.edges(e)
+        addFaceEdge(r.shapeId, e, r.hasInterior, v0, v1, allEdges)
         e += 1
       }
     }
-    for (face <- 0 until 6) updateFaceEdges(face, allEdges(face).toArray, t)
-    // cells were appended in increasing Hilbert order by construction
-    cells = cellsBuf.toArray
-    built = true
+    for (shapeId <- pendingAdditionsPos until shapesBuf.length) {
+      val s = shapesBuf(shapeId)
+      if (s != null) {
+        val hasInterior = s.dimension == 2
+        if (hasInterior)
+          t.addShape(shapeId, ShapeUtil.containsBruteForce(s, t.focus))
+        var e = 0
+        while (e < s.numEdges) {
+          val (v0, v1) = s.edge(e)
+          addFaceEdge(shapeId, e, hasInterior, v0, v1, allEdges)
+          e += 1
+        }
+      }
+    }
+    for (face <- 0 until 6)
+      updateFaceEdges(face, allEdges(face).toArray, t, firstUpdate)
+    pendingRemovals.clear()
+    pendingAdditionsPos = shapesBuf.length
+    // Snapshot the live tree in unsigned Hilbert order for the iterator.
+    val snap = new Array[Long](cellTree.size())
+    val it = cellTree.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { snap(i) = it.next().longValue(); i += 1 }
+    cells = snap
+    fresh = true
   }
 
   private def addFaceEdge(shapeId: Int, edgeId: Int, hasInterior: Boolean,
@@ -247,7 +352,7 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
   }
 
   private def updateFaceEdges(face: Int, faceEdges: Array[FaceEdge],
-                              t: Tracker): Unit = {
+                              t: Tracker, disjointFromIndex: Boolean): Unit = {
     if (faceEdges.isEmpty && t.shapeIds.isEmpty) return
     var xLo = Double.MaxValue; var xHi = -Double.MaxValue
     var yLo = Double.MaxValue; var yHi = -Double.MaxValue
@@ -261,29 +366,56 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
     val faceId = CellId.fromFace(face)
     var pcell = PaddedCell.fromCellId(faceId, CellPadding)
     if (faceEdges.nonEmpty) {
-      val shrunkId = pcell.shrinkToFit(xLo, xHi, yLo, yHi)
+      var shrunkId = pcell.shrinkToFit(xLo, xHi, yLo, yHi)
+      // Never shrink below an existing index cell: the new edges must be
+      // combined with that cell's contents (shapeindex.go shrinkToFit).
+      if (!disjointFromIndex && shrunkId != faceId) {
+        val (rel, cid) = locateCellIdLive(shrunkId)
+        if (rel == CellRelation.Indexed) shrunkId = cid
+      }
       if (shrunkId != faceId) {
-        skipCellRange(CellId.rangeMin(faceId), CellId.rangeMin(shrunkId), t)
+        skipCellRange(CellId.rangeMin(faceId), CellId.rangeMin(shrunkId),
+          t, disjointFromIndex)
         pcell = PaddedCell.fromCellId(shrunkId, CellPadding)
-        updateEdges(pcell, clippedEdges.toList, t)
+        updateEdges(pcell, clippedEdges.toList, t, disjointFromIndex)
         skipCellRange(CellId.next(CellId.rangeMax(shrunkId)),
-          CellId.next(CellId.rangeMax(faceId)), t)
+          CellId.next(CellId.rangeMax(faceId)), t, disjointFromIndex)
         return
       }
     }
-    updateEdges(pcell, clippedEdges.toList, t)
+    updateEdges(pcell, clippedEdges.toList, t, disjointFromIndex)
   }
 
-  private def skipCellRange(begin: Long, end: Long, t: Tracker): Unit = {
+  private def skipCellRange(begin: Long, end: Long, t: Tracker,
+                            disjointFromIndex: Boolean): Unit = {
     if (t.shapeIds.isEmpty) return
     CellUnion.fromRange(begin, end).ids.foreach { cell =>
-      updateEdges(PaddedCell.fromCellId(cell, CellPadding), Nil, t)
+      updateEdges(PaddedCell.fromCellId(cell, CellPadding), Nil, t,
+        disjointFromIndex)
     }
   }
 
-  private def updateEdges(pcell: PaddedCell, edges: List[ClippedEdge],
-                          t: Tracker): Unit = {
-    if (!makeIndexCell(pcell, edges, t)) {
+  private def updateEdges(pcell: PaddedCell, edges0: List[ClippedEdge],
+                          t: Tracker, disjoint0: Boolean): Unit = {
+    // Incremental merge (shapeindex.go:1005-1075): subdivide as usual
+    // until an existing index cell is reached, absorb its contents into
+    // the edge set (erasing shapes being removed), continue below it as
+    // if building fresh, and restore the tracker's parked state when the
+    // recursion returns to the absorbed cell.
+    var edges = edges0
+    var disjoint = disjoint0
+    var absorbed = false
+    if (!disjoint) {
+      locateCellIdLive(pcell.id) match {
+        case (CellRelation.Disjoint, _) => disjoint = true
+        case (CellRelation.Indexed, cid) =>
+          edges = absorbIndexCell(pcell, cid, edges, t)
+          absorbed = true
+          disjoint = true
+        case _ => () // Subdivided: existing cells below; keep descending
+      }
+    }
+    if (!disjoint || !makeIndexCell(pcell, edges, t)) {
       val (mULo, mUHi, mVLo, mVHi) = pcell.middle
       val child00 = scala.collection.mutable.ListBuffer[ClippedEdge]()
       val child01 = scala.collection.mutable.ListBuffer[ClippedEdge]()
@@ -323,10 +455,89 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
       for (pos <- 0 until 4) {
         val (i, j) = pcell.childIJ(pos)
         val buf = bufFor(i, j)
+        // Children with no changed edges and no tracked interior keep
+        // their existing subtrees untouched — that skip is what makes
+        // the update incremental rather than a rebuild.
         if (buf.nonEmpty || t.shapeIds.nonEmpty)
-          updateEdges(pcell.childAt(i, j), buf.toList, t)
+          updateEdges(pcell.childAt(i, j), buf.toList, t, disjoint)
       }
     }
+    if (absorbed) t.restoreStateBefore(pendingAdditionsPos)
+  }
+
+  /** Transfer an existing index cell's contents into the edge set being
+    * updated, delete the cell, and park the tracker state of its
+    * (previously indexed) shapes until the subtree is done
+    * (shapeindex.go:1366-1480; the reference's version swaps a local
+    * slice header, so its result never reaches the caller — returning
+    * the merged edge list here is the corrected form).
+    */
+  private def absorbIndexCell(p: PaddedCell, absorbId: Long,
+                              edges: List[ClippedEdge],
+                              t: Tracker): List[ClippedEdge] = {
+    require(absorbId == p.id,
+      "absorb invariant: located cell must equal the visited cell")
+    // Advance the removed shapes' interior state to this cell's exit
+    // vertex first (their edges vanish below, but the walk continues).
+    if (t.isActive && edges.nonEmpty &&
+      isShapeBeingRemoved(edges.head.fe.shapeId)) {
+      if (!t.atCellId(p.id)) t.moveTo(p.entryVertex)
+      t.drawTo(p.exitVertex)
+      t.setNextCellId(CellId.next(p.id))
+      edges.iterator.takeWhile(e => isShapeBeingRemoved(e.fe.shapeId))
+        .foreach { e =>
+          if (e.fe.hasInterior) t.testEdge(e.fe.shapeId, e.fe.v0, e.fe.v1)
+        }
+    }
+    t.saveAndClearStateBefore(pendingAdditionsPos)
+
+    val face = CellId.face(p.id)
+    val (pULo, pUHi, pVLo, pVHi) = p.bound
+    val newEdges = scala.collection.mutable.ListBuffer[ClippedEdge]()
+    var trackerMoved = false
+    val cell = cellTree.get(absorbId)
+    for (clipped <- cell.shapes) {
+      val shapeId = clipped.shapeId
+      val shape = shapesBuf(shapeId)
+      if (shape != null) { // null = shape being removed: erase its edges
+        val hasInterior = shape.dimension == 2
+        if (hasInterior) {
+          t.addShape(shapeId, clipped.containsCenter)
+          // The cell may be pure interior (no edges); only reposition the
+          // tracker when there is an edge to test against.
+          if (!trackerMoved && clipped.numEdges > 0) {
+            t.moveTo(p.center)
+            t.drawTo(p.entryVertex)
+            t.setNextCellId(p.id)
+            trackerMoved = true
+          }
+        }
+        for (edgeId <- clipped.edges) {
+          val (v0, v1) = shape.edge(edgeId)
+          if (hasInterior) t.testEdge(shapeId, v0, v1)
+          clipToPaddedFace(v0, v1, face, CellPadding) match {
+            case Some((ax, ay, bx, by)) =>
+              val fe = new FaceEdge(shapeId, edgeId, maxLevelForEdge(v0, v1),
+                hasInterior, ax, ay, bx, by, v0, v1)
+              // bound of the clipped edge clamped to this cell's padded
+              // rect (Go clippedEdgeBound)
+              newEdges += new ClippedEdge(fe,
+                math.max(pULo, math.min(ax, bx)),
+                math.min(pUHi, math.max(ax, bx)),
+                math.max(pVLo, math.min(ay, by)),
+                math.min(pVHi, math.max(ay, by)))
+            case None =>
+              throw new IllegalStateException(
+                "ShapeIndex invariant: indexed edge must clip to its face")
+          }
+        }
+      }
+    }
+    // Keep the incoming edges that are not being removed (removed ids
+    // sort first, so the merged list stays sorted by shape id).
+    newEdges ++= edges.dropWhile(e => isShapeBeingRemoved(e.fe.shapeId))
+    cellTree.remove(absorbId)
+    newEdges.toList
   }
 
   private def makeIndexCell(p: PaddedCell, edges: List[ClippedEdge],
@@ -374,8 +585,7 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
         if (cShapeId == eShapeId) cRest = cRest.tail
       }
     }
-    cellMap(p.id) = new ShapeIndexCell(clippedShapes.toArray)
-    cellsBuf += p.id
+    cellTree.put(p.id, new ShapeIndexCell(clippedShapes.toArray))
 
     if (t.isActive && edges.nonEmpty) {
       t.drawTo(p.exitVertex)
