@@ -65,10 +65,119 @@ final case class PointVectorShape(points: Array[Vec3]) extends Shape {
   def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
 }
 
+/** Closed vertex chain WITHOUT the Loop invariants — duplicate vertices,
+  * degenerate (sliver) loops and single-vertex "point loops" are all
+  * legal (lax_loop.go:15-85). numEdges == numVertices; containment is
+  * defined by the reference-point machinery, which resolves degeneracies
+  * through ContainsVertexQuery.
+  */
+final case class LaxLoopShape(vertices: Array[Vec3]) extends Shape {
+  def numEdges: Int = vertices.length
+  def edge(e: Int): (Vec3, Vec3) =
+    (vertices(e), vertices(if (e + 1 == vertices.length) 0 else e + 1))
+  def dimension: Int = 2
+  def referencePoint: (Vec3, Boolean) = ShapeUtil.referencePointForShape(this)
+}
+
+/** Open vertex chain permitting degeneracies — adjacent duplicates and
+  * self-intersections are legal (lax_polyline.go:15-54).
+  */
+final case class LaxPolylineShape(vertices: Array[Vec3]) extends Shape {
+  def numEdges: Int = math.max(0, vertices.length - 1)
+  def edge(e: Int): (Vec3, Vec3) = (vertices(e), vertices(e + 1))
+  def dimension: Int = 1
+  def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
+}
+
+/** Multi-loop polygon permitting degeneracies (lax_polygon.go:15-160):
+  * loops are raw vertex chains with interiors on the left; an empty
+  * chain list is the empty polygon, and a polygon whose chains are all
+  * empty (zero edges but at least one chain) is the FULL polygon.
+  */
+final case class LaxPolygonShape(loops: Array[Array[Vec3]]) extends Shape {
+  private val offsets: Array[Int] = {
+    val o = new Array[Int](loops.length + 1)
+    for (i <- loops.indices) o(i + 1) = o(i) + loops(i).length
+    o
+  }
+  def numEdges: Int = offsets.last
+  def edge(e: Int): (Vec3, Vec3) = {
+    var li = 0
+    while (e >= offsets(li + 1)) li += 1
+    val k = e - offsets(li)
+    val loop = loops(li)
+    (loop(k), loop(if (k + 1 == loop.length) 0 else k + 1))
+  }
+  def dimension: Int = 2
+  def referencePoint: (Vec3, Boolean) =
+    if (numEdges == 0) (EdgeCrossings.originPoint, loops.nonEmpty)
+    else ShapeUtil.referencePointForShape(this)
+}
+
 /** O(n) containment from a shape's reference point
   * (shapeutil.go:213-230).
   */
 object ShapeUtil {
+  /** A (point, contained) anchor for a dimension-2 shape that may contain
+    * degeneracies (shapeutil.go:115-203): find an unbalanced vertex (one
+    * with an unmatched incident edge) and decide its containment with
+    * ContainsVertexQuery; sibling-pair-only shapes define the empty
+    * region. Falls back to sorting edges against their reversals to find
+    * an unmatched edge when the first vertex is balanced.
+    */
+  def referencePointForShape(shape: Shape): (Vec3, Boolean) = {
+    if (shape.numEdges == 0)
+      // A shape with no edges is full iff it has at least one chain;
+      // the reduced Shape trait cannot express chains, so edge-free
+      // means empty here (LaxPolygonShape overrides this case itself).
+      return (EdgeCrossings.originPoint, false)
+    referencePointAtVertex(shape, shape.edge(0)._1) match {
+      case Some(r) => return r
+      case None => ()
+    }
+    // First vertex balanced: find an unmatched edge by comparing the
+    // sorted edge multiset with the sorted reversed-edge multiset.
+    val n = shape.numEdges
+    implicit val vecOrd: Ordering[(Vec3, Vec3)] =
+      Ordering.by(e => (e._1.x, e._1.y, e._1.z, e._2.x, e._2.y, e._2.z))
+    val edges = Array.tabulate(n)(shape.edge).sorted
+    val rev = Array.tabulate(n) { e =>
+      val (a, b) = shape.edge(e); (b, a)
+    }.sorted
+    var i = 0
+    while (i < n) {
+      if (vecOrd.lt(edges(i), rev(i))) {
+        referencePointAtVertex(shape, edges(i)._1) match {
+          case Some(r) => return r
+          case None => ()
+        }
+      }
+      if (vecOrd.lt(rev(i), edges(i))) {
+        referencePointAtVertex(shape, rev(i)._1) match {
+          case Some(r) => return r
+          case None => ()
+        }
+      }
+      i += 1
+    }
+    // All edges are matched sibling pairs: the region is empty.
+    (EdgeCrossings.originPoint, false)
+  }
+
+  private def referencePointAtVertex(shape: Shape,
+                                     vTest: Vec3): Option[(Vec3, Boolean)] = {
+    val q = new ContainsVertexQuery(vTest)
+    var e = 0
+    while (e < shape.numEdges) {
+      val (v0, v1) = shape.edge(e)
+      if (v0 == vTest) q.addEdge(v1, 1)
+      if (v1 == vTest) q.addEdge(v0, -1)
+      e += 1
+    }
+    val sign = q.containsVertex()
+    if (sign == 0) None else Some((vTest, sign > 0))
+  }
+
   def containsBruteForce(shape: Shape, point: Vec3): Boolean = {
     if (shape.dimension != 2) return false
     val (refPoint, refContained) = shape.referencePoint
