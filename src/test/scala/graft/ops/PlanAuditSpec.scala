@@ -53,6 +53,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang"), s"unpruned scan: $readSchema")
   }
 
+  test("snap query: native s2_snap_cell expression, no UDF, partial agg") {
+    val p = plan("q_snap_e2")
+    assert(p.contains("s2_snap_cell"), "snap must route through the Snapper expression")
+    assert(!p.contains("ScalaUDF"), "snap path must stay native")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg expected")
+  }
+
+  test("exact dedup shuffles digests, not documents") {
+    val p = plan("q_dedup_exact")
+    // the digest is computed below the exchange and becomes the grouping
+    // key; the raw text column must never be the partitioning key
+    assert(p.contains("sha2"), "digest computation missing from the plan")
+    val exch = "hashpartitioning\\([^)]*".r.findFirstIn(p).getOrElse("")
+    assert(exch.nonEmpty && !exch.contains("text#"),
+      s"raw text must not be the shuffle key: $exch")
+  }
+
+  test("vector queries use the fused vec_dot kernel, not array chains") {
+    for (q <- Seq("q_ann_top3", "q_embed_neardup")) {
+      val p = plan(q)
+      assert(p.contains("vec_dot"), s"$q must use the native dot kernel")
+      assert(!p.contains("zip_with"), s"$q must not materialize product arrays")
+    }
+  }
+
+  test("ngram jaccard plans as an inverted-index join, not a cartesian") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      "exact jaccard must not be a cross join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on gram:\n$p")
+  }
+
   test("headline pipeline stays inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q_pip_city")(spark, dir)
     val codegen = org.apache.spark.sql.execution.debug
