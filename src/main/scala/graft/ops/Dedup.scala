@@ -62,7 +62,7 @@ object Dedup {
 
   // MinHash permutation parameters: (a*h + b) mod p over a Mersenne prime.
   private val MersennePrime = (1L << 61) - 1
-  private def perms(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  def permsFor(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Array.fill(numHashes)((math.abs(rng.nextLong()) % (MersennePrime - 1) + 1,
       math.abs(rng.nextLong()) % MersennePrime))
@@ -111,13 +111,9 @@ object Dedup {
                  seed: Long = 42, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val ps = perms(numHashes, seed)
-    val bcPs = spark.sparkContext.broadcast(ps)
-
-    val sigUdf = udf((text: String) =>
-      minHashSignature(shingleHashes(text, shingleSize), bcPs.value))
     val sigs = docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
-      .withColumn("sig", sigUdf(col("doc_text")))
+      .withColumn("sig", graft.functions.TextHash.minHashSig(
+        col("doc_text"), shingleSize, numHashes, seed))
 
     // band key = hash of the band's signature slice
     val bandKeyUdf = udf((sig: Seq[Long], band: Int) => {
@@ -220,9 +216,8 @@ object Dedup {
                    maxBucket: Int = 256): DataFrame = {
     val nChunks = maxDistance + 1
     val chunkBits = 64 / nChunks
-    val shUdf = udf((text: String) => simHash(text))
     val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("doc_text"))
-      .withColumn("sh", shUdf(col("doc_text")))
+      .withColumn("sh", graft.functions.TextHash.simHash64(col("doc_text")))
     val chunkUdf = udf((sh: Long, c: Int) =>
       (sh >>> (c * chunkBits)) & ((1L << chunkBits) - 1))
     import org.apache.spark.sql.expressions.Window
