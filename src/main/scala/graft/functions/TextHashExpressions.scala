@@ -63,6 +63,83 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int,
   override def prettyName: String = "minhash_sig"
 }
 
+/** Codegen-reachable hyperplane-LSH helpers: plane tables cached per
+  * (nBits, dim, seed).
+  */
+object LshStatics {
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), Array[Array[Double]]]()
+  def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits, dim, seed),
+      _ => graft.ops.Similarity.hyperplanes(nBits, dim, seed))
+
+  def signature(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                nBits: Int, dim: Int, seed: Long): Long = {
+    val ps = planes(nBits, dim, seed)
+    var sig = 0L
+    var b = 0
+    while (b < ps.length) {
+      val p = ps(b)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(p.length, vec.numElements())
+      while (i < n) { dot += p(i) * vec.getFloat(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** FNV-1a over a signature slice, matching Dedup.minHashLsh's band key. */
+  def bandKey(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+              band: Int, rowsPerBand: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ band.toLong
+    var i = band * rowsPerBand
+    while (i < (band + 1) * rowsPerBand) {
+      h ^= sig.getLong(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** lsh_sig(vec) -> packed hyperplane sign signature (parameters are
+  * expression constants; float input arrays).
+  */
+case class HyperplaneSigExpr(child: Expression, nBits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    LshStatics.signature(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nBits, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LshStatics.signature($a, $nBits, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "lsh_sig"
+}
+
+/** band_key(sig, band) -> FNV-1a of the band's signature slice. */
+case class BandKeyExpr(left: Expression, right: Expression, rowsPerBand: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sig: Any, band: Any): Any =
+    LshStatics.bandKey(
+      sig.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      band.asInstanceOf[Int], rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LshStatics.bandKey($a, $b, $rowsPerBand)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "band_key"
+}
+
 object TextHash {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -70,4 +147,8 @@ object TextHash {
   def minHashSig(text: Column, shingleSize: Int, numHashes: Int,
                  seed: Long): Column =
     col(MinHashSigExpr(expr(text), shingleSize, numHashes, seed))
+  def hyperplaneSig(vec: Column, nBits: Int, dim: Int, seed: Long): Column =
+    col(HyperplaneSigExpr(expr(vec), nBits, dim, seed))
+  def bandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
+    col(BandKeyExpr(expr(sig), expr(band), rowsPerBand))
 }

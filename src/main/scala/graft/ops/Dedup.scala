@@ -115,21 +115,10 @@ object Dedup {
       .withColumn("sig", graft.functions.TextHash.minHashSig(
         col("doc_text"), shingleSize, numHashes, seed))
 
-    // band key = hash of the band's signature slice
-    val bandKeyUdf = udf((sig: Seq[Long], band: Int) => {
-      var h = 0xcbf29ce484222325L ^ band.toLong
-      var i = band * rowsPerBand
-      while (i < (band + 1) * rowsPerBand) {
-        h ^= sig(i)
-        h *= 0x100000001b3L
-        i += 1
-      }
-      h
-    })
-
     val banded = sigs
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("bucket", bandKeyUdf(col("sig"), col("band")))
+      .withColumn("bucket",
+        graft.functions.TextHash.bandKey(col("sig"), col("band"), rowsPerBand))
       .select("band", "bucket", "doc_id")
 
     // Hot-bucket cap BEFORE any aggregation: rank bucket members and keep

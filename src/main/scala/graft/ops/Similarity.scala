@@ -185,16 +185,16 @@ object Similarity extends Serializable {
                         seed: Long = 42, dim: Int = 64): DataFrame = {
     require(nBits % bands == 0 && nBits <= 64)
     val bandBits = nBits / bands
-    val planes = hyperplanes(nBits, dim, seed)
-    val bc = spark.sparkContext.broadcast(planes)
-    val sigUdf = udf((v: Seq[Float]) => signature(v.toArray, bc.value))
-    val bandKey = udf((sig: Long, band: Int) =>
-      (band.toLong << 32) | ((sig >>> (band * bandBits)) & ((1L << bandBits) - 1)))
-
+    // signature + band key are native expressions (codegen'd, no UDF);
+    // the plane table is a deterministic function of (nBits, dim, seed)
+    // cached executor-side, so nothing needs broadcasting.
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      df.withColumn("sig", sigUdf(col(vec)))
+      df.withColumn("sig",
+          graft.functions.TextHash.hyperplaneSig(col(vec), nBits, dim, seed))
         .withColumn("band", explode(array((0 until bands).map(lit): _*)))
-        .withColumn("bucket", bandKey(col("sig"), col("band")))
+        .withColumn("bucket", expr(
+          s"shiftleft(CAST(band AS BIGINT), 32) | " +
+            s"(shiftrightunsigned(sig, band * $bandBits) & ${(1L << bandBits) - 1})"))
 
     val c = banded(corpus, corpusId, corpusVec)
       .select(col("bucket"), col(corpusId))
