@@ -114,6 +114,34 @@ final case class LaxPolygonShape(loops: Array[Array[Vec3]]) extends Shape {
     else ShapeUtil.referencePointForShape(this)
 }
 
+/** Iterator over every (shapeId, edgeId) of an index in order — the edge
+  * counterpart of ShapeIndexIterator's cell walk
+  * (shapeutil_edge_iterator.go:15-72); removed (null) shapes are skipped.
+  */
+final class EdgeIterator(index: ShapeIndex) {
+  private var shapeIdV = -1
+  private var numEdges = 0
+  private var edgeIdV = -1
+  next()
+
+  def shapeId: Int = shapeIdV
+  def edgeId: Int = edgeIdV
+  def done: Boolean = shapeIdV >= index.numShapes
+  def edge: (Vec3, Vec3) = index.shape(shapeIdV).edge(edgeIdV)
+
+  def next(): Unit = {
+    edgeIdV += 1
+    while (edgeIdV >= numEdges) {
+      shapeIdV += 1
+      if (shapeIdV >= index.numShapes) return
+      val shape = index.shape(shapeIdV)
+      numEdges = if (shape == null) 0 else shape.numEdges
+      edgeIdV = 0
+      if (numEdges > 0) return
+    }
+  }
+}
+
 /** O(n) containment from a shape's reference point
   * (shapeutil.go:213-230).
   */

@@ -8,6 +8,19 @@ sealed trait Snapper extends Serializable {
   /** Max distance a point can move when snapped, radians. */
   def snapRadius: Double
   def snap(p: Vec3): Vec3
+
+  /** Max deviation of a snapped edge from its original great circle:
+    * snap radius plus the 10% slack that keeps edge splitting rare
+    * (builder.go:17-35 maxEdgeDeviationRatio).
+    */
+  final def maxEdgeDeviation: Double = Snapper.MaxEdgeDeviationRatio * snapRadius
+}
+
+object Snapper {
+  /** builder.go:35 — edges up to ~30-49 degrees never split under this
+    * slack at legal snap radii.
+    */
+  val MaxEdgeDeviationRatio: Double = 1.1
 }
 
 /** Identity snapper: no rounding (builder_snapper.go IdentitySnapper). */

@@ -208,6 +208,30 @@ class ShapeIndexIncrementalSpec extends AnyFunSuite {
     assertStructurallyEqual(inc, Seq(0), freshIndex(Seq(nyLoop)))
   }
 
+  test("EdgeIterator walks every live edge, skipping removed shapes") {
+    val inc = new ShapeIndex()
+    inc.add(nyLoop); inc.add(line); inc.add(ctLoop)
+    inc.build()
+    inc.remove(1)
+    inc.build()
+    val got = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val it = new EdgeIterator(inc)
+    while (!it.done) {
+      got += ((it.shapeId, it.edgeId))
+      val (v0, v1) = it.edge
+      assert(v0 != null && v1 != null)
+      it.next()
+    }
+    val want = for {
+      id <- 0 until inc.numShapes if inc.shape(id) != null
+      e <- 0 until inc.shape(id).numEdges
+    } yield (id, e)
+    assert(got.toSeq === want)
+    // snapper edge-deviation slack (builder.go constant)
+    val s = CellIdSnapper(10)
+    assert(s.maxEdgeDeviation === 1.1 * s.snapRadius)
+  }
+
   test("queries agree with a fresh index after updates") {
     val inc = new ShapeIndex()
     inc.add(nyLoop); inc.add(line); inc.add(annulus)
