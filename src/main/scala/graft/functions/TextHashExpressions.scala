@@ -31,6 +31,60 @@ object TextHashStatics {
       perms(numHashes, seed))
 }
 
+/** shingles(text) -> sorted distinct word n-gram FNV hashes. */
+case class ShingleHashesExpr(child: Expression, shingleSize: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.ops.Dedup.shingleHashes(
+      s.asInstanceOf[UTF8String].toString, shingleSize))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ops.Dedup.shingleHashes($a.toString(), $shingleSize))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object JaccardStatics {
+  /** Exact Jaccard of two SORTED distinct long arrays (merge intersect;
+    * same values as Dedup.ngramJaccard given its sorted shingle sets).
+    */
+  def sortedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                    b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** jaccard_sorted(a, b) -> exact Jaccard of two sorted long-hash sets. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardStatics.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardStatics.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
 /** simhash64(text) -> 64-bit SimHash over whitespace tokens. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -151,4 +205,8 @@ object TextHash {
     col(HyperplaneSigExpr(expr(vec), nBits, dim, seed))
   def bandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
     col(BandKeyExpr(expr(sig), expr(band), rowsPerBand))
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    col(ShingleHashesExpr(expr(text), shingleSize))
+  def sortedJaccard(a: Column, b: Column): Column =
+    col(SortedJaccardExpr(expr(a), expr(b)))
 }

@@ -159,13 +159,19 @@ object Dedup {
       .select(col("pair._1").as("a_id"), col("pair._2").as("b_id"))
       .distinct()
 
-    // Verify with exact n-gram Jaccard (join texts back).
-    val textsA = docs.select(col(idCol).as("a_id"), col(textCol).as("a_text"))
-    val textsB = docs.select(col(idCol).as("b_id"), col(textCol).as("b_text"))
-    val jacUdf = udf((a: String, b: String) => ngramJaccard(a, b, shingleSize))
+    // Verify with exact n-gram Jaccard over precomputed sorted shingle
+    // sets: shingles are computed once per DOC (not twice per candidate
+    // pair), only the ~8-bytes-per-shingle arrays travel through the
+    // verification joins (never the documents), and the intersection is
+    // a fused sorted-merge expression.
+    import graft.functions.TextHash
+    val shA = docs.select(col(idCol).as("a_id"),
+      TextHash.shingleHashes(col(textCol), shingleSize).as("a_sh"))
+    val shB = docs.select(col(idCol).as("b_id"),
+      TextHash.shingleHashes(col(textCol), shingleSize).as("b_sh"))
     candidates
-      .join(textsA, "a_id").join(textsB, "b_id")
-      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+      .join(shA, "a_id").join(shB, "b_id")
+      .withColumn("jaccard", TextHash.sortedJaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
