@@ -46,10 +46,8 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard of two docs' word n-gram shingle sets. */
-  def ngramJaccard(a: String, b: String, n: Int): Double = {
-    val sa = shingleHashes(a, n)
-    val sb = shingleHashes(b, n)
+  /** Exact Jaccard of two SORTED distinct hash arrays (merge intersect). */
+  def jaccardSorted(sa: Array[Long], sb: Array[Long]): Double = {
     if (sa.isEmpty && sb.isEmpty) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < sa.length && j < sb.length) {
@@ -59,6 +57,10 @@ object Dedup {
     }
     inter.toDouble / (sa.length + sb.length - inter).toDouble
   }
+
+  /** Exact Jaccard of two docs' word n-gram shingle sets. */
+  def ngramJaccard(a: String, b: String, n: Int): Double =
+    jaccardSorted(shingleHashes(a, n), shingleHashes(b, n))
 
   // MinHash permutation parameters: (a*h + b) mod p over a Mersenne prime.
   private val MersennePrime = (1L << 61) - 1

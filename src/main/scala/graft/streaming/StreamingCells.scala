@@ -111,4 +111,80 @@ object StreamingCells {
       .withWatermark("ts", watermarkDelay)
       .withColumn("fp", graft.ops.TextOps.fingerprint("text"))
       .dropDuplicatesWithinWatermark("fp")
+
+  /** An emitted streaming near-duplicate pair (a_id < b_id). */
+  final case class NearDupHit(a_id: Long, b_id: Long, jaccard: Double,
+                              ts: java.sql.Timestamp)
+
+  /** Streaming NEAR-duplicate screen: the batch MinHash-LSH pipeline as
+    * bounded streaming state. Incoming docs (ts, doc_id, text) are
+    * banded into their LSH buckets with the same native expressions as
+    * the batch path; per-bucket state keeps the most recent maxBucket
+    * (doc_id, sorted shingle set) members; a new doc is exact-verified
+    * against its bucket's members and any pair at Jaccard >= threshold
+    * is emitted. Idle buckets are evicted by an event-time timeout, so
+    * state is bounded by (active buckets x maxBucket) on an infinite
+    * stream.
+    *
+    * Delivery is AT-LEAST-ONCE per pair: a pair agreeing on several
+    * bands is emitted once per matching band (Spark disallows a second
+    * stateful dedup stage behind flatMapGroupsWithState, the standard
+    * global-watermark correctness restriction). Pair identity
+    * (a_id, b_id) makes the sink-side distinct idempotent, which is the
+    * production pattern for streaming dedup emissions.
+    */
+  def streamingNearDups(docs: DataFrame, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.6, maxBucket: Int = 64,
+                        seed: Long = 42,
+                        watermarkDelay: String = "5 minutes",
+                        retentionMillis: Long = 30 * 60 * 1000L): Dataset[NearDupHit] = {
+    import graft.functions.TextHash
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0)
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("sig",
+        TextHash.minHashSig(col("text"), shingleSize, numHashes, seed))
+      .withColumn("sh", TextHash.shingleHashes(col("text"), shingleSize))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bucket",
+        TextHash.bandKey(col("sig"), col("band"), numHashes / bands))
+      .select(col("bucket"), col("doc_id"), col("sh"), col("ts"))
+      .as[(Long, Long, Array[Long], java.sql.Timestamp)]
+
+    def update(bucket: Long,
+               rows: Iterator[(Long, Long, Array[Long], java.sql.Timestamp)],
+               state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var members = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+        var maxTs = Long.MinValue
+        // deterministic order within the micro-batch
+        for ((_, id, sh, ts) <- rows.toSeq.sortBy(r => (r._4.getTime, r._2))) {
+          maxTs = math.max(maxTs, ts.getTime)
+          members.foreach { case (mid, msh) =>
+            if (mid != id) {
+              val j = graft.ops.Dedup.jaccardSorted(msh, sh)
+              if (j >= threshold)
+                out += NearDupHit(math.min(mid, id), math.max(mid, id), j, ts)
+            }
+          }
+          members = ((id, sh) :: members.filterNot(_._1 == id)).take(maxBucket)
+        }
+        state.update(members)
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(maxTs + retentionMillis, wm + 1))
+        out.iterator
+      }
+    }
+
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

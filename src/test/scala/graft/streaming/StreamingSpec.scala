@@ -126,4 +126,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length === 2)
     assert(out.toSet === Set("hello world", "different doc"))
   }
+
+  test("streaming near-dup screen finds cross-batch LSH pairs exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val hits = StreamingCells.streamingNearDups(docs,
+      watermarkDelay = "2 minutes", retentionMillis = 60 * 60 * 1000L)
+    val query = hits.writeStream
+      .format("memory").queryName("neardups").outputMode("append").start()
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    // batch 1: an original + an unrelated doc
+    input.addData((t0, 1L, base),
+      (t0, 2L, "completely unrelated text about spark query planning and joins"))
+    query.processAllAvailable()
+    // batch 2: a near-duplicate of doc 1 arrives later -> must pair with
+    // the STATE from batch 1 (cross-batch), plus another unrelated doc
+    input.addData((t1, 3L, base + " extra"),
+      (t1, 4L, "yet another separate document mentioning cells and coverings"))
+    query.processAllAvailable()
+
+    val out = spark.sql("select a_id, b_id, jaccard from neardups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    query.stop()
+    // at-least-once per pair (once per matching band); sink-side distinct
+    // on pair identity yields exactly the planted pair with its exact
+    // jaccard
+    assert(out.nonEmpty)
+    assert(out.toSet.size === 1, s"got ${out.toSeq}")
+    assert(out.head._1 === 1L && out.head._2 === 3L)
+    assert(out.head._3 === graft.ops.Dedup.ngramJaccard(base, base + " extra", 3))
+  }
 }
