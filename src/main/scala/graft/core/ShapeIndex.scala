@@ -656,13 +656,17 @@ final class ShapeIndex(val maxEdgesPerCell: Int = 10) {
             case Some((ax, ay, bx, by)) =>
               val fe = new FaceEdge(shapeId, edgeId, maxLevelForEdge(v0, v1),
                 hasInterior, ax, ay, bx, by, v0, v1)
-              // bound of the clipped edge clamped to this cell's padded
-              // rect (Go clippedEdgeBound)
-              newEdges += new ClippedEdge(fe,
-                math.max(pULo, math.min(ax, bx)),
-                math.min(pUHi, math.max(ax, bx)),
-                math.max(pVLo, math.min(ay, by)),
-                math.min(pVHi, math.max(ay, by)))
+              // TIGHT bound of the edge portion inside this cell's padded
+              // rect (Go clippedEdgeBound): interpolated per axis, not a
+              // bbox clamp — a clamp is looser for diagonal edges and
+              // leaks edges into cells they do not intersect.
+              clipEdgeBound(ax, ay, bx, by, (pULo, pUHi), (pVLo, pVHi)) match {
+                case Some(((xLo, xHi), (yLo, yHi))) =>
+                  newEdges += new ClippedEdge(fe, xLo, xHi, yLo, yHi)
+                case None =>
+                  throw new IllegalStateException(
+                    "ShapeIndex invariant: absorbed edge must intersect its cell")
+              }
             case None =>
               throw new IllegalStateException(
                 "ShapeIndex invariant: indexed edge must clip to its face")

@@ -208,6 +208,52 @@ class ShapeIndexIncrementalSpec extends AnyFunSuite {
     assertStructurallyEqual(inc, Seq(0), freshIndex(Seq(nyLoop)))
   }
 
+  test("randomized add/remove soak validates after every round") {
+    val soak = new scala.util.Random(271828)
+    def randomShape(): Shape = soak.nextInt(4) match {
+      case 0 => LoopShape(Loop.regularLoop(
+        LatLng.toPointDegrees(soak.nextDouble() * 20 + 30,
+          soak.nextDouble() * 20 - 80),
+        0.01 + soak.nextDouble() * 0.1, 8 + soak.nextInt(40)))
+      case 1 =>
+        var lat = 35 + soak.nextDouble() * 10
+        var lng = -78 + soak.nextDouble() * 10
+        PolylineShape(new Polyline(Array.fill(2 + soak.nextInt(6)) {
+          lat += soak.nextDouble() - 0.5; lng += soak.nextDouble() - 0.5
+          LatLng.toPointDegrees(lat, lng)
+        }))
+      case 2 => PointVectorShape(Array.fill(1 + soak.nextInt(4))(
+        LatLng.toPointDegrees(soak.nextDouble() * 20 + 30,
+          soak.nextDouble() * 20 - 80)))
+      case _ => LaxLoopShape(Array.fill(3 + soak.nextInt(5))(
+        LatLng.toPointDegrees(soak.nextDouble() * 5 + 40,
+          soak.nextDouble() * 5 - 75)))
+    }
+    val inc = new ShapeIndex()
+    val live = scala.collection.mutable.ArrayBuffer[Int]()
+    for (round <- 0 until 6) {
+      // each round: 1-3 adds, and sometimes a removal of a random live id
+      for (_ <- 0 to soak.nextInt(3)) live += inc.add(randomShape())
+      if (round > 0 && live.nonEmpty && soak.nextBoolean()) {
+        val victim = live.remove(soak.nextInt(live.length))
+        inc.remove(victim)
+      }
+      inc.build()
+      validateIndex(inc)
+      // query equivalence against a fresh build of the live set
+      val fresh = freshIndex(live.toSeq.map(inc.shape))
+      val map = live.toSeq.zipWithIndex.toMap
+      val incQ = new ContainsPointQuery(inc, VertexModel.SemiOpen)
+      val freshQ = new ContainsPointQuery(fresh, VertexModel.SemiOpen)
+      for (_ <- 0 until 150) {
+        val p = LatLng.toPointDegrees(soak.nextDouble() * 30 + 25,
+          soak.nextDouble() * 30 - 85)
+        assert(incQ.containingShapes(p).map(map) === freshQ.containingShapes(p),
+          s"round $round mismatch at $p")
+      }
+    }
+  }
+
   test("EdgeIterator walks every live edge, skipping removed shapes") {
     val inc = new ShapeIndex()
     inc.add(nyLoop); inc.add(line); inc.add(ctLoop)
