@@ -82,6 +82,37 @@ class PolylineJoinSpec extends AnyFunSuite {
       LatLng.toPointDegrees(0, 0)), 3).isEmpty)
   }
 
+  test("kNN join matches exact ground truth across radii, k, and densities") {
+    import spark.implicits._
+    // clustered + sparse points: some queries satisfied by the grid pass,
+    // others forced through the brute fallback
+    val pts = ((0 until 400).map { i =>
+      (s"p$i", 40.0 + rng.nextDouble() * 2, -74.5 + rng.nextDouble() * 2)
+    } ++ (0 until 20).map { i =>
+      (s"sparse$i", -20.0 + rng.nextDouble() * 40, 60.0 + rng.nextDouble() * 40)
+    }).toDF("url", "lat", "lng")
+    for (trial <- 0 until 4) {
+      val k = 1 + rng.nextInt(7)
+      val radius = Seq(5000.0, 50000.0, 400000.0, 3000000.0)(trial)
+      val queries = ((0 until 6).map(i =>
+        (i.toLong, 40.5 + rng.nextDouble(), -74.0 + rng.nextDouble())) ++
+        Seq((6L, -10.0, 70.0), (7L, 89.0, 0.0))) // sparse + polar queries
+      val got = SpatialJoin.knnJoinDF(spark, pts,
+          queries.toDF("query_id", "q_lat", "q_lng"), k,
+          initialRadiusMeters = radius, tieBreakCol = "url")
+        .select("query_id", "url").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // exact ground truth via haversine in Scala
+      val rows = pts.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val want = queries.flatMap { case (qid, qla, qln) =>
+        rows.sortBy { case (u, la, ln) =>
+          (graft.functions.LatLngStatics.distanceDegrees(qla, qln, la, ln), u)
+        }.take(k).map(t => (qid, t._1))
+      }.toSet
+      assert(got === want, s"trial $trial k=$k radius=$radius")
+    }
+  }
+
   test("kNN DataFrame query side matches the Seq API and scans points at most twice") {
     import spark.implicits._
     val pages = graft.sources.PagesSource.withLatLng(
