@@ -164,6 +164,42 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("random geometry re-encodes byte-identically after a round trip") {
+    val rng = new scala.util.Random(31337)
+    for (_ <- 0 until 120) {
+      val c = LatLng.toPointDegrees(rng.nextDouble() * 160 - 80,
+        rng.nextDouble() * 360 - 180)
+      // loops: lossless round trip must be byte-stable
+      val loop = Loop.regularLoop(c, 0.001 + rng.nextDouble() * 0.3,
+        3 + rng.nextInt(40))
+      val e1 = Codec.encodeLoop(loop)
+      assert(Codec.encodeLoop(Codec.decodeLoop(e1)).toSeq === e1.toSeq)
+      // polylines, both wire versions
+      var lat = rng.nextDouble() * 100 - 50
+      var lng = rng.nextDouble() * 300 - 150
+      val pl = new Polyline(Array.fill(1 + rng.nextInt(12)) {
+        lat += rng.nextDouble() - 0.5; lng += rng.nextDouble() - 0.5
+        LatLng.toPointDegrees(lat, lng)
+      })
+      val p1 = Codec.encodePolyline(pl)
+      assert(Codec.encodePolyline(Codec.decodePolyline(p1)).toSeq === p1.toSeq)
+      // compressed polyline: snapped vertices survive exactly
+      val level = 10 + rng.nextInt(15)
+      val snapped = pl.vertices.map(v =>
+        CellId.toPoint(CellId.parent(CellId.fromPoint(v.x, v.y, v.z), level)))
+      val pc = Codec.encodePolylineCompressed(snapped, level)
+      assert(Codec.decodePolylineAnyVersion(pc).toSeq === snapped.toSeq)
+      // cell unions
+      val cu = CellUnion.normalized(Array.fill(1 + rng.nextInt(8)) {
+        val p = LatLng.toPointDegrees(rng.nextDouble() * 160 - 80,
+          rng.nextDouble() * 360 - 180)
+        CellId.parent(CellId.fromPoint(p.x, p.y, p.z), rng.nextInt(28))
+      })
+      val u1 = Codec.encodeCellUnion(cu)
+      assert(Codec.encodeCellUnion(Codec.decodeCellUnion(u1)).toSeq === u1.toSeq)
+    }
+  }
+
   test("Polyline wire golden + round trip (encode_test.go:111)") {
     assert(hex(Codec.encodePolylinePoints(Array.empty[Vec3])) === "0100000000")
     assert(Codec.decodePolylinePoints(
