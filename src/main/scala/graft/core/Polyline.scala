@@ -58,16 +58,19 @@ final class Polyline(val vertices: Array[Vec3]) extends S2Region {
     */
   def interpolate(t: Double): (Vec3, Int) = {
     if (t <= 0) return (vertices(0), 1)
-    val targetLen = t * length
-    var acc = 0.0
+    var target = t * length
     var i = 1
     while (i < vertices.length) {
       val seg = vertices(i - 1).angle(vertices(i))
-      if (acc + seg >= targetLen) {
-        return (EdgeDistances.interpolateAtDistance(targetLen - acc,
-          vertices(i - 1), vertices(i)), i)
+      // Strict comparison (polyline.go:590): a fraction landing exactly
+      // on vertex i reports next = i + 1, not i.
+      if (target < seg) {
+        val result = EdgeDistances.interpolateAtDistance(target,
+          vertices(i - 1), vertices(i))
+        // rounding can still land exactly on vertex i
+        return if (result == vertices(i)) (result, i + 1) else (result, i)
       }
-      acc += seg
+      target -= seg
       i += 1
     }
     (vertices.last, vertices.length)
@@ -105,6 +108,10 @@ final class Polyline(val vertices: Array[Vec3]) extends S2Region {
       if (d < best) { best = d; bestPoint = p; bestNext = i }
       i += 1
     }
+    // A projection landing exactly on the segment's end vertex reports
+    // the FOLLOWING edge's index (polyline.go:479-481) — isOnRight's
+    // interior-vertex wedge branch depends on this.
+    if (bestPoint == vertices(bestNext)) bestNext += 1
     (bestPoint, bestNext)
   }
 
