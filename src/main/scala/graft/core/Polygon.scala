@@ -61,20 +61,28 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
     inside
   }
 
-  /** Area of the parity region: normalize every loop to its small (CCW)
-    * interior, compute each loop's nesting depth by counting how many
-    * other loops contain one of its vertices, and alternate signs with
-    * depth (shell +, hole -, island-in-lake +, ...).
+  /** Area of the polygon: signed sum of the stored loops' areas, holes
+    * subtracted (polygon.go Area semantics: sign from the nesting depth
+    * assigned at construction). Loops are stored normalized (interiors
+    * CCW-small) except the full loop, whose 4*Pi area stands as-is.
     */
   def area: Double = {
-    val norm = loops.map(_.normalized)
     var total = 0.0
-    for ((l, i) <- norm.zipWithIndex) {
-      val depth = norm.indices.count(j =>
-        j != i && norm(j).containsNested(l))
-      total += (if (depth % 2 == 0) l.area else -l.area)
-    }
+    loops.foreach(l => total += (if (l.isHole) -l.area else l.area))
     math.max(0, total)
+  }
+
+  /** True centroid times area: sum of the loops' scaled centroids, holes
+    * subtracted (polygon.go:1021-1032). Not unit length; zero for the
+    * empty and full polygons.
+    */
+  def centroid: Vec3 = {
+    var u = Vec3.zero
+    for (l <- loops) {
+      val v = l.centroidTimesArea
+      u = if (l.isHole) u - v else u + v
+    }
+    u
   }
 
   // ------------------------------------------------------------------
