@@ -113,6 +113,35 @@ object SpatialJoin {
   /** Inner PIP join against single-loop polygons: adds `poly_id`, one row
     * per (point, containing polygon).
     */
+  /** Estimated broadcast payload of the covering-index path: covering +
+    * interior cells (16 B of packed entry + key share each) plus the wire
+    * size of every geometry (broadcast once per polygon for the refine).
+    */
+  def estimateBroadcastBytes(polygons: Seq[(Long, Loop)],
+                             maxCells: Int = 32): Long = {
+    val coverer = RegionCoverer(maxCells = maxCells)
+    polygons.iterator.map { case (_, loop) =>
+      val cells = coverer.covering(loop).size + coverer.interiorCovering(loop).size
+      16L * cells + 24L * loop.numVertices + 64L
+    }.sum
+  }
+
+  /** The north rule's join chooser: broadcast covering-probe join when
+    * the covering index + geometries fit the broadcast budget, the
+    * cell-level sort-merge path otherwise. The default budget mirrors
+    * Spark's autoBroadcastJoinThreshold scale (10 MB); pass the real
+    * executor budget at deploy time.
+    */
+  def pipJoinAuto(spark: SparkSession, points: DataFrame,
+                  polygons: Seq[(Long, Loop)],
+                  latCol: String = "lat", lngCol: String = "lng",
+                  maxCells: Int = 32,
+                  broadcastBudgetBytes: Long = 10L * 1024 * 1024): DataFrame =
+    if (estimateBroadcastBytes(polygons, maxCells) <= broadcastBudgetBytes)
+      pipJoin(spark, points, polygons, latCol, lngCol, maxCells)
+    else
+      ShuffleSpatialJoin.pipJoinLarge(spark, points, polygons, latCol, lngCol)
+
   def pipJoin(spark: SparkSession, points: DataFrame, polygons: Seq[(Long, Loop)],
               latCol: String = "lat", lngCol: String = "lng",
               maxCells: Int = 32): DataFrame = {

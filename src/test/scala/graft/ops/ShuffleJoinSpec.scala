@@ -33,6 +33,29 @@ class ShuffleJoinSpec extends AnyFunSuite {
     assert(shuffleRows === broadcastRows)
   }
 
+  test("pipJoinAuto chooses by covering cardinality and stays row-identical") {
+    val pages = graft.sources.PagesSource.withLatLng(
+      spark.read.parquet(
+        graft.sources.PagesSource.pagesParquet(spark, "/root/testdata/sf0.001")))
+    val polys = graft.SparkEntry.cityPolygons
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "poly_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    def hasBroadcastProbe(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("covering_probe")
+
+    val est = SpatialJoin.estimateBroadcastBytes(polys)
+    assert(est > 0)
+    // generous budget: broadcast path
+    val auto1 = SpatialJoin.pipJoinAuto(spark, pages, polys)
+    assert(hasBroadcastProbe(auto1), "small dim set must broadcast")
+    // starved budget: shuffle path, identical rows
+    val auto2 = SpatialJoin.pipJoinAuto(spark, pages, polys,
+      broadcastBudgetBytes = est - 1)
+    assert(!hasBroadcastProbe(auto2), "over-budget dim set must not broadcast")
+    assert(rows(auto1) === rows(auto2))
+  }
+
   test("shuffle path plans the candidate join as sort-merge, not broadcast") {
     val pages = graft.sources.PagesSource.withLatLng(
       spark.read.parquet(
