@@ -38,6 +38,19 @@ final case class Vec3(x: Double, y: Double, z: Double) {
   /** A unit vector orthogonal to this one; same deterministic choice as
     * the reference's Ortho (s2/point.go:250-261).
     */
+  /** This point rotated by `angleRad` around `axis`, CCW as seen from
+    * the positive axis direction (point.go Rotate): decompose into the
+    * axial component (fixed) and the orthogonal pair spanning the
+    * rotation plane.
+    */
+  def rotate(axis: Vec3, angleRad: Double): Vec3 = {
+    val center = axis * this.dot(axis)
+    val axial = this - center
+    if (axial.norm2 == 0) return this
+    val orthogonal = axis.cross(this)
+    (orthogonal * math.sin(angleRad) + axial * math.cos(angleRad) + center).normalize
+  }
+
   def ortho: Vec3 = {
     val o = largestComponent match {
       case 0 => Vec3(0.012, 0.0053, 1)
