@@ -23,6 +23,10 @@ object ClosestEdgeQuery {
     def distanceToCell(cell: Cell): Double
     /** A point of the target for interior containment tests. */
     def samplePoint: Vec3
+    /** One point per connected component, for interior tests on
+      * multi-component targets (min_distance_targets.go:305-345).
+      */
+    def samplePoints: Seq[Vec3] = Seq(samplePoint)
   }
 
   final case class PointTarget(p: Vec3) extends DistanceTarget {
@@ -50,6 +54,48 @@ object ClosestEdgeQuery {
     def samplePoint: Vec3 = target.center
   }
 
+  /** A whole ShapeIndex as the thing measured FROM: min distance is the
+    * min over the target geometry, computed with a recursive
+    * ClosestEdgeQuery over the target index
+    * (min_distance_targets.go:253-345). Interior tests cover one chain
+    * start per connected component, plus the full-polygon special case.
+    */
+  final case class ShapeIndexTarget(targetIndex: ShapeIndex,
+                                    includeInteriors: Boolean = true)
+      extends DistanceTarget {
+    private lazy val query = new ClosestEdgeQuery(targetIndex, includeInteriors)
+    def updateMinDistance(v0: Vec3, v1: Vec3, minDist: Double): (Double, Boolean) = {
+      val rs = query.findClosestEdges(EdgeTarget(v0, v1), 1, minDist)
+      rs.headOption match {
+        case Some(r) if r.distance < minDist => (r.distance, true)
+        case _ => (minDist, false)
+      }
+    }
+    def distanceToCell(cell: Cell): Double = {
+      val rs = query.findClosestEdges(CellTarget(cell), 1)
+      if (rs.isEmpty) ChordAngle.Straight + 1 else rs.head.distance
+    }
+    def samplePoint: Vec3 = samplePoints.headOption.getOrElse(
+      EdgeCrossings.originPoint)
+    override def samplePoints: Seq[Vec3] = {
+      val out = scala.collection.mutable.ArrayBuffer[Vec3]()
+      for (id <- 0 until targetIndex.numShapes) {
+        val shape = targetIndex.shape(id)
+        if (shape != null) {
+          val starts = shape.chainStarts
+          if (starts.nonEmpty) out ++= starts
+          else {
+            // full polygons have chains but no edges: any point works,
+            // and the empty polygon contributes nothing
+            val (p, contained) = shape.referencePoint
+            if (contained) out += p
+          }
+        }
+      }
+      out.toSeq
+    }
+  }
+
   /** One result: (shapeId, edgeId, squared-chord distance). Interior hits
     * carry edgeId = -1 and distance 0 (edge_query.go:428-439).
     */
@@ -72,12 +118,13 @@ final class ClosestEdgeQuery(index: ShapeIndex,
                        distanceLimit: Double = ChordAngle.Straight + 1): Seq[Result] = {
     val results = scala.collection.mutable.ArrayBuffer[Result]()
 
-    // Interior hits: shapes containing (a sample point of) the target.
+    // Interior hits: shapes containing ANY connected component of the
+    // target (one sample point per component suffices).
     if (includeInteriors) {
       val q = new ContainsPointQuery(index, VertexModel.SemiOpen)
-      q.containingShapes(target.samplePoint).foreach { shapeId =>
-        results += Result(shapeId, -1, 0.0)
-      }
+      val hit = scala.collection.mutable.SortedSet[Int]()
+      target.samplePoints.foreach(p => hit ++= q.containingShapes(p))
+      hit.foreach(shapeId => results += Result(shapeId, -1, 0.0))
     }
 
     var limit = distanceLimit

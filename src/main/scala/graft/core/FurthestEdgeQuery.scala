@@ -24,6 +24,8 @@ object FurthestEdgeQuery {
     def maxDistanceToCell(cell: Cell): Double
     /** Antipode of a target sample point, for interior containment. */
     def antipodeSamplePoint: Vec3
+    /** One antipode per connected component of the target. */
+    def antipodeSamplePoints: Seq[Vec3] = Seq(antipodeSamplePoint)
   }
 
   final case class PointTarget(p: Vec3) extends DistanceTarget {
@@ -51,6 +53,44 @@ object FurthestEdgeQuery {
     def antipodeSamplePoint: Vec3 = target.center * -1
   }
 
+  /** A whole ShapeIndex as the max-distance source: the max over the
+    * target geometry via a recursive FurthestEdgeQuery
+    * (max_distance_targets.go:214-303).
+    */
+  final case class ShapeIndexTarget(targetIndex: ShapeIndex,
+                                    includeInteriors: Boolean = true)
+      extends DistanceTarget {
+    private lazy val query = new FurthestEdgeQuery(targetIndex, includeInteriors)
+    def updateMaxDistance(v0: Vec3, v1: Vec3, maxDist: Double): (Double, Boolean) = {
+      val rs = query.findFurthestEdges(EdgeTarget(v0, v1), 1, maxDist)
+      rs.headOption match {
+        case Some(r) if r.distance > maxDist => (r.distance, true)
+        case _ => (maxDist, false)
+      }
+    }
+    def maxDistanceToCell(cell: Cell): Double = {
+      val rs = query.findFurthestEdges(CellTarget(cell), 1)
+      if (rs.isEmpty) -1.0 else rs.head.distance
+    }
+    def antipodeSamplePoint: Vec3 = antipodeSamplePoints.headOption
+      .getOrElse(EdgeCrossings.originPoint * -1)
+    override def antipodeSamplePoints: Seq[Vec3] = {
+      val out = scala.collection.mutable.ArrayBuffer[Vec3]()
+      for (id <- 0 until targetIndex.numShapes) {
+        val shape = targetIndex.shape(id)
+        if (shape != null) {
+          val starts = shape.chainStarts
+          if (starts.nonEmpty) out ++= starts.map(_ * -1)
+          else {
+            val (p, contained) = shape.referencePoint
+            if (contained) out += p * -1
+          }
+        }
+      }
+      out.toSeq
+    }
+  }
+
   /** One result: (shapeId, edgeId, squared-chord distance). Interior hits
     * (shape contains the target's antipode) carry edgeId = -1 and
     * distance Straight.
@@ -75,13 +115,14 @@ final class FurthestEdgeQuery(index: ShapeIndex,
                         distanceLimit: Double = -1.0): Seq[Result] = {
     val results = scala.collection.mutable.ArrayBuffer[Result]()
 
-    // Interior hits: shapes containing the antipode of the target are at
-    // the maximum possible distance (max_distance_targets.go:84-92).
+    // Interior hits: shapes containing the antipode of ANY connected
+    // component of the target are at the maximum possible distance
+    // (max_distance_targets.go:84-92).
     if (includeInteriors) {
       val q = new ContainsPointQuery(index, VertexModel.SemiOpen)
-      q.containingShapes(target.antipodeSamplePoint).foreach { shapeId =>
-        results += Result(shapeId, -1, ChordAngle.Straight)
-      }
+      val hit = scala.collection.mutable.SortedSet[Int]()
+      target.antipodeSamplePoints.foreach(p => hit ++= q.containingShapes(p))
+      hit.foreach(shapeId => results += Result(shapeId, -1, ChordAngle.Straight))
     }
 
     var limit = distanceLimit

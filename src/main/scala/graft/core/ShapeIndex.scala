@@ -14,6 +14,11 @@ trait Shape {
     * (shapeutil.go referencePointForShape).
     */
   def referencePoint: (Vec3, Boolean)
+  /** One vertex per connected edge component (chain), for targets that
+    * must test every component (min_distance_targets.go:310-345).
+    */
+  def chainStarts: Seq[Vec3] =
+    if (numEdges == 0) Seq.empty else Seq(edge(0)._1)
 }
 
 final case class LoopShape(loop: Loop) extends Shape {
@@ -46,6 +51,8 @@ final case class PolygonShape(polygon: Polygon) extends Shape {
     polygon.loops.foreach(l => inside ^= l.originInside)
     (EdgeCrossings.originPoint, inside)
   }
+  override def chainStarts: Seq[Vec3] =
+    polygon.loops.toSeq.filter(!_.isEmptyOrFull).map(_.vertex(0))
 }
 
 final case class PolylineShape(polyline: Polyline) extends Shape {
@@ -63,6 +70,7 @@ final case class PointVectorShape(points: Array[Vec3]) extends Shape {
   def edge(e: Int): (Vec3, Vec3) = (points(e), points(e))
   def dimension: Int = 0
   def referencePoint: (Vec3, Boolean) = (EdgeCrossings.originPoint, false)
+  override def chainStarts: Seq[Vec3] = points.toSeq
 }
 
 /** Closed vertex chain WITHOUT the Loop invariants — duplicate vertices,
@@ -112,6 +120,8 @@ final case class LaxPolygonShape(loops: Array[Array[Vec3]]) extends Shape {
   def referencePoint: (Vec3, Boolean) =
     if (numEdges == 0) (EdgeCrossings.originPoint, loops.nonEmpty)
     else ShapeUtil.referencePointForShape(this)
+  override def chainStarts: Seq[Vec3] =
+    loops.toSeq.filter(_.nonEmpty).map(_.head)
 }
 
 /** Iterator over every (shapeId, edgeId) of an index in order — the edge
