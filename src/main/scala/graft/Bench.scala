@@ -54,8 +54,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Split the headline fixture finer than the 128 MB default merges
-      // it: the 2M-row parquet otherwise coalesces to ~8 splits and caps
-      // scan parallelism at a quarter of the cores.
+      // it: the 10M-row (~1 GB) parquet otherwise coalesces into far
+      // fewer splits than cores and caps scan parallelism.
       .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -118,6 +118,12 @@ object CellId {
     */
   def cellsAtLevel(id: Long, targetLevel: Int): Array[Long] = {
     if (level(id) >= targetLevel) return Array(parent(id, targetLevel))
+    // 4^13 descendants is already a 512 MB array; beyond that the shift
+    // count would also overflow the Int element count and silently
+    // return empty — refuse loudly instead.
+    require(targetLevel - level(id) <= 13,
+      s"cellsAtLevel fan-out 4^${targetLevel - level(id)} is unreasonably " +
+        "large; denormalize to a coarser level")
     val n = (1L << (2 * (targetLevel - level(id)))).toInt
     val out = new Array[Long](n)
     var c = childBeginAtLevel(id, targetLevel)

@@ -4,8 +4,13 @@ package graft.core
   * it is contained by an odd number of loops... more precisely, the
   * reference defines containment as the parity over all loops
   * (/root/reference/s2/polygon.go:591-613: "any-loop parity via shared
-  * index"). Loops may be shells (CCW) or holes (CW); parity handles
-  * arbitrary nesting without tracking depth.
+  * index").
+  *
+  * INPUT CONTRACT (the reference's InitNested contract): every loop must
+  * be normalized — its interior the CCW-small region, area <= 2*Pi —
+  * except the full loop. Holes are detected by nesting depth, not by
+  * winding; a CW-wound input loop violates the contract and yields
+  * complement-region areas.
   */
 final class Polygon(val loops: Array[Loop]) extends S2Region {
 
@@ -189,8 +194,10 @@ final class Polygon(val loops: Array[Loop]) extends S2Region {
 }
 
 object Polygon {
-  /** Build from loops; orientation is taken as given (shells CCW, holes
-    * CW — parity containment is orientation-agnostic anyway).
+  /** Build from loops. Input must satisfy the class's normalized-loop
+    * contract: every loop's interior is its CCW-small region (area <=
+    * 2*Pi) except the full loop; holes are implied by nesting, not by
+    * winding.
     */
   def fromLoops(loops: Seq[Loop]): Polygon = new Polygon(loops.toArray)
 

@@ -13,19 +13,34 @@ import graft.core._
   */
 object IndexCache {
   private val MaxEntries = 32
+  // Reads must stay lock-free: forPolylines runs once PER ROW inside the
+  // kNN/farthest UDFs, so a synchronized LRU map would serialize every
+  // executor core through one mutex (and an access-ordered LinkedHashMap
+  // mutates on get, so even hits would need the lock). Hits go through a
+  // ConcurrentHashMap; the size cap evicts in insertion order (broadcast
+  // ids are monotone, so the oldest entry is the stalest) under a lock
+  // taken only on insert.
   private val cache =
-    new java.util.LinkedHashMap[Long, ShapeIndex](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, ShapeIndex]): Boolean =
-        size() > MaxEntries
-    }
+    new java.util.concurrent.ConcurrentHashMap[Long, ShapeIndex]()
+  private val insertionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 
-  private def getOrBuild(id: Long)(build: => ShapeIndex): ShapeIndex =
-    cache.synchronized {
-      val hit = cache.get(id)
-      if (hit != null) hit
-      else { val idx = build; cache.put(id, idx); idx }
+  private def getOrBuild(id: Long)(build: => ShapeIndex): ShapeIndex = {
+    val hit = cache.get(id)
+    if (hit != null) return hit
+    val idx = cache.computeIfAbsent(id, _ => { insertionOrder.add(id); build })
+    // Evict outside the compute lambda (a mapping function must stay
+    // simple and must not throw control flow through the map).
+    var guard = 0
+    while (cache.size() > MaxEntries && guard < MaxEntries) {
+      val eldest = insertionOrder.poll()
+      if (eldest == null) guard = MaxEntries
+      else if (eldest == id) insertionOrder.add(id) // never self-evict
+      else cache.remove(eldest)
+      guard += 1
     }
+    idx
+  }
 
   /** Index over a broadcast polyline set (ids map to shape ids by order). */
   def forPolylines(bc: Broadcast[Seq[(Long, Polyline)]]): ShapeIndex =

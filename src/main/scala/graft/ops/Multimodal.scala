@@ -182,9 +182,12 @@ object Multimodal {
             }
           case _ =>
             videoFramePayloads(row.content).flatMap { frames =>
-              decodeImage(frames(0)).map { case (w, h, bands, mean) =>
-                MediaFeatures(row.media_id, row.kind, w, h, bands,
-                  frames.length, mean)
+              // zero-frame containers are malformed media, skipped like
+              // any other undecodable payload
+              frames.headOption.flatMap(decodeImage).map {
+                case (w, h, bands, mean) =>
+                  MediaFeatures(row.media_id, row.kind, w, h, bands,
+                    frames.length, mean)
               }
             }
         }

@@ -59,18 +59,18 @@ object ShuffleSpatialJoin {
     * geometryTable and joins back only for boundary candidates.
     */
   def polygonDimTable(spark: SparkSession, polygons: Seq[(Long, Loop)],
-                      level: Int, maxCells: Int = 32): DataFrame = {
+                      level: Int, maxCells: Int = 32,
+                      precomputed: Option[Seq[(Long, CellUnion, CellUnion)]] = None): DataFrame = {
     import spark.implicits._
     import graft.functions.S2
-    val coverer = RegionCoverer(maxCells = maxCells)
+    val coverings = precomputed.getOrElse(
+      SpatialJoin.polygonCoverings(polygons, maxCells))
     // Only the NORMALIZED covering rides from the driver (<= 2*maxCells
     // rows per polygon); the level-k fan-out — up to the maxDimRows
     // budget — happens executor-side via s2_cells_at + explode. Shipping
     // the denormalized table from the driver was a 9 MB task closure for
     // 8 city polygons and a driver OOM at a real dimension-table scale.
-    val rows = polygons.flatMap { case (id, loop) =>
-      val covering = coverer.covering(loop)
-      val interior = coverer.interiorCovering(loop)
+    val rows = coverings.flatMap { case (id, covering, interior) =>
       val boundary = covering.difference(interior)
       interior.ids.map(c => (c, id, true)) ++
         boundary.ids.map(c => (c, id, false))
@@ -99,10 +99,11 @@ object ShuffleSpatialJoin {
   def pipJoinLarge(spark: SparkSession, points: DataFrame,
                    polygons: Seq[(Long, Loop)],
                    latCol: String = "lat", lngCol: String = "lng",
-                   maxDimRows: Long = 2000000L): DataFrame = {
-    val coverer = RegionCoverer(maxCells = 32)
-    val level = chooseLevel(polygons.map(p => coverer.covering(p._2)), maxDimRows)
-    val dim = polygonDimTable(spark, polygons, level)
+                   maxDimRows: Long = 2000000L,
+                   precomputed: Option[Seq[(Long, CellUnion, CellUnion)]] = None): DataFrame = {
+    val coverings = precomputed.getOrElse(SpatialJoin.polygonCoverings(polygons))
+    val level = chooseLevel(coverings.map(_._2), maxDimRows)
+    val dim = polygonDimTable(spark, polygons, level, precomputed = Some(coverings))
     val geoms = geometryTable(spark, polygons)
 
     import graft.functions.S2

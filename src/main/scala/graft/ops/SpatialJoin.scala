@@ -113,44 +113,63 @@ object SpatialJoin {
   /** Inner PIP join against single-loop polygons: adds `poly_id`, one row
     * per (point, containing polygon).
     */
+  /** Covering + interior covering per polygon — computed once and shared
+    * between the size estimate and whichever join path runs (covering is
+    * the dominant driver-side cost at real dimension-table sizes).
+    */
+  def polygonCoverings(polygons: Seq[(Long, Loop)],
+                       maxCells: Int = 32): Seq[(Long, CellUnion, CellUnion)] = {
+    val coverer = RegionCoverer(maxCells = maxCells)
+    polygons.map { case (id, loop) =>
+      (id, coverer.covering(loop), coverer.interiorCovering(loop))
+    }
+  }
+
   /** Estimated broadcast payload of the covering-index path: covering +
     * interior cells (16 B of packed entry + key share each) plus the wire
     * size of every geometry (broadcast once per polygon for the refine).
     */
   def estimateBroadcastBytes(polygons: Seq[(Long, Loop)],
-                             maxCells: Int = 32): Long = {
-    val coverer = RegionCoverer(maxCells = maxCells)
-    polygons.iterator.map { case (_, loop) =>
-      val cells = coverer.covering(loop).size + coverer.interiorCovering(loop).size
-      16L * cells + 24L * loop.numVertices + 64L
+                             coverings: Seq[(Long, CellUnion, CellUnion)]): Long =
+    polygons.iterator.zip(coverings.iterator).map { case ((_, loop), (_, c, ic)) =>
+      16L * (c.size + ic.size) + 24L * loop.numVertices + 64L
     }.sum
-  }
+
+  def estimateBroadcastBytes(polygons: Seq[(Long, Loop)]): Long =
+    estimateBroadcastBytes(polygons, polygonCoverings(polygons))
 
   /** The north rule's join chooser: broadcast covering-probe join when
     * the covering index + geometries fit the broadcast budget, the
     * cell-level sort-merge path otherwise. The default budget mirrors
     * Spark's autoBroadcastJoinThreshold scale (10 MB); pass the real
-    * executor budget at deploy time.
+    * executor budget at deploy time. Coverings are computed exactly once
+    * and reused by the chosen path.
     */
   def pipJoinAuto(spark: SparkSession, points: DataFrame,
                   polygons: Seq[(Long, Loop)],
                   latCol: String = "lat", lngCol: String = "lng",
                   maxCells: Int = 32,
-                  broadcastBudgetBytes: Long = 10L * 1024 * 1024): DataFrame =
-    if (estimateBroadcastBytes(polygons, maxCells) <= broadcastBudgetBytes)
-      pipJoin(spark, points, polygons, latCol, lngCol, maxCells)
+                  broadcastBudgetBytes: Long = 10L * 1024 * 1024): DataFrame = {
+    val coverings = polygonCoverings(polygons, maxCells)
+    if (estimateBroadcastBytes(polygons, coverings) <= broadcastBudgetBytes)
+      pipJoinPrecovered(spark, points, polygons, coverings, latCol, lngCol)
     else
-      ShuffleSpatialJoin.pipJoinLarge(spark, points, polygons, latCol, lngCol)
+      ShuffleSpatialJoin.pipJoinLarge(spark, points, polygons, latCol, lngCol,
+        precomputed = Some(coverings))
+  }
 
   def pipJoin(spark: SparkSession, points: DataFrame, polygons: Seq[(Long, Loop)],
               latCol: String = "lat", lngCol: String = "lng",
-              maxCells: Int = 32): DataFrame = {
-    val coverer = RegionCoverer(maxCells = maxCells)
-    val entries = polygons.map { case (id, loop) =>
-      (id, coverer.covering(loop), coverer.interiorCovering(loop))
-    }
+              maxCells: Int = 32): DataFrame =
+    pipJoinPrecovered(spark, points, polygons,
+      polygonCoverings(polygons, maxCells), latCol, lngCol)
+
+  private def pipJoinPrecovered(spark: SparkSession, points: DataFrame,
+                                polygons: Seq[(Long, Loop)],
+                                coverings: Seq[(Long, CellUnion, CellUnion)],
+                                latCol: String, lngCol: String): DataFrame = {
     val loopMap = polygons.toMap
-    coveringJoin(spark, points, entries,
+    coveringJoin(spark, points, coverings,
       (rid, lat, lng) => loopMap(rid).containsPoint(LatLng.toPointDegrees(lat, lng)),
       "poly_id", latCol, lngCol)
   }

@@ -54,7 +54,10 @@ for name in sorted(glob.glob(f"{outdir}/q_*")):
         res["spark_cols"], res["oracle_cols"] = sorted(scols), sorted(ocols)
     results[q] = res
 
-ok = all(r.get("hash_match") for r in results.values() if "err" not in r)
+# Every query must have a working oracle AND match it: a missing oracle
+# or an oracle SQL error is a FAILURE of the gate, not a skip.
+ok = bool(results) and all(
+    "err" not in r and r.get("hash_match") for r in results.values())
 for q, r in sorted(results.items()):
     status = "PASS" if r.get("hash_match") else (r.get("err") or "FAIL")
     print(f"{q:20s} {status}  spark={r.get('spark_rows')} oracle={r.get('oracle_rows')}")
