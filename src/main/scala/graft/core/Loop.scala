@@ -482,7 +482,10 @@ object Loop {
 object Centroids {
   /** True centroid of spherical triangle ABC times its area. */
   def trueCentroid(a: Vec3, b: Vec3, c: Vec3): Vec3 = {
-    // Use the exact formula from centroids.go:78-110.
+    // centroids.go:78-110, INCLUDING the first-row subtraction: solving
+    // Cramer's rule on the raw vertex rows cancels catastrophically for
+    // tiny triangles (vertices agree to many digits); subtracting row A
+    // from B and C keeps the differences exact.
     val angleA = b.angle(c)
     val angleB = c.angle(a)
     val angleC = a.angle(b)
@@ -490,10 +493,10 @@ object Centroids {
     val rb = if (angleB == 0) 1.0 else angleB / math.sin(angleB)
     val rc = if (angleC == 0) 1.0 else angleC / math.sin(angleC)
 
-    val xv = Vec3(a.x, b.x, c.x)
-    val yv = Vec3(a.y, b.y, c.y)
-    val zv = Vec3(a.z, b.z, c.z)
-    val r = Vec3(ra, rb, rc)
+    val xv = Vec3(a.x, b.x - a.x, c.x - a.x)
+    val yv = Vec3(a.y, b.y - a.y, c.y - a.y)
+    val zv = Vec3(a.z, b.z - a.z, c.z - a.z)
+    val r = Vec3(ra, rb - ra, rc - ra)
     Vec3(
       0.5 * yv.cross(zv).dot(r),
       0.5 * zv.cross(xv).dot(r),
