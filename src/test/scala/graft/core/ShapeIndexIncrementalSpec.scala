@@ -231,7 +231,8 @@ class ShapeIndexIncrementalSpec extends AnyFunSuite {
     }
     val inc = new ShapeIndex()
     val live = scala.collection.mutable.ArrayBuffer[Int]()
-    for (round <- 0 until 6) {
+    val rounds = sys.props.get("graft.soak.rounds").map(_.toInt).getOrElse(6)
+    for (round <- 0 until rounds) {
       // each round: 1-3 adds, and sometimes a removal of a random live id
       for (_ <- 0 to soak.nextInt(3)) live += inc.add(randomShape())
       if (round > 0 && live.nonEmpty && soak.nextBoolean()) {
