@@ -88,7 +88,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rps,"unit":"rows/sec","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Stamp the host's 1-minute load average: this sandbox shares a noisy
+    // box (neighbor load swings single-run numbers 3-4x on identical
+    // code), so the artifact must document its own measurement weather.
+    val loadavg = try {
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+    } catch { case _: Exception => "-1" }
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rps,"unit":"rows/sec","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":$loadavg,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
