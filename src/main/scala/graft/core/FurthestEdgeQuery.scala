@@ -182,10 +182,13 @@ final class FurthestEdgeQuery(index: ShapeIndex,
       }
     }
 
+    // Cap at exactly k (the reference's maxResults contract,
+    // edge_query.go): interior hits compete with edge hits for the
+    // k slots rather than extending the result past it.
     val edgeResults = best.dequeueAll.reverse // descending distance
     (results ++ edgeResults).distinct.toSeq
       .sortBy(r => (-r.distance, r.shapeId, r.edgeId))
-      .take(math.max(k, results.length))
+      .take(k)
   }
 
   /** Maximum distance (squared chord) from the target to the indexed

@@ -28,8 +28,11 @@ object S2Expressions {
 object SnapperStatics {
   private val snappers: Array[graft.core.CellIdSnapper] =
     Array.tabulate(graft.core.CellId.MaxLevel + 1)(graft.core.CellIdSnapper(_))
-  def snapCell(latDeg: Double, lngDeg: Double, level: Int): Long =
+  def snapCell(latDeg: Double, lngDeg: Double, level: Int): Long = {
+    require(level >= 0 && level <= graft.core.CellId.MaxLevel,
+      s"s2_snap_cell level must be in [0, ${graft.core.CellId.MaxLevel}], got $level")
     snappers(level).snapToCell(graft.core.LatLng.toPointDegrees(latDeg, lngDeg))
+  }
 }
 
 /** s2_snap_cell(latDeg, lngDeg, level) -> snapped cell id at the level

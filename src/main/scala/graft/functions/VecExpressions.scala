@@ -41,13 +41,23 @@ case class VecDotExpr(left: Expression, right: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"vec_dot needs float/double arrays, got ${left.dataType}, ${right.dataType}")
   }
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  // A null ELEMENT null-propagates the whole result, exactly like the
+  // aggregate(zip_with(...)) SQL form this expression claims parity with
+  // (a null product poisons the + fold). ArrayData.getDouble on a null
+  // slot returns an unspecified value, so the slots must be checked.
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += VecExprUtil.elemAt(x, left.dataType, i) *
         VecExprUtil.elemAt(y, right.dataType, i)
       i += 1
@@ -64,6 +74,7 @@ case class VecDotExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  ${ev.value} += (double) $a.$ga($i) * (double) $b.$gb($i);
          |}
        """.stripMargin
@@ -84,11 +95,16 @@ case class VecNorm2Expr(child: Expression) extends UnaryExpression {
     case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"vec_norm2 needs a float/double array, got $dt")
   }
-  override def nullSafeEval(a: Any): Any = {
+  // Null elements null-propagate (see VecDotExpr).
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return null
     val x = a.asInstanceOf[ArrayData]
     var sum = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
       val v = VecExprUtil.elemAt(x, child.dataType, i)
       sum += v * v
       i += 1
@@ -103,6 +119,7 @@ case class VecNorm2Expr(child: Expression) extends UnaryExpression {
       s"""
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.$g($i);
          |  ${ev.value} += $v * $v;
          |}

@@ -22,8 +22,10 @@ object IndexCache {
   // taken only on insert.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Long, ShapeIndex]()
+  // Boxed Long: poll() must be null-checkable on an empty queue (an
+  // unboxed queue silently turns null into 0L and would evict id 0).
   private val insertionOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 
   private def getOrBuild(id: Long)(build: => ShapeIndex): ShapeIndex = {
     val hit = cache.get(id)
@@ -35,8 +37,8 @@ object IndexCache {
     while (cache.size() > MaxEntries && guard < MaxEntries) {
       val eldest = insertionOrder.poll()
       if (eldest == null) guard = MaxEntries
-      else if (eldest == id) insertionOrder.add(id) // never self-evict
-      else cache.remove(eldest)
+      else if (eldest.longValue == id) insertionOrder.add(eldest) // never self-evict
+      else cache.remove(eldest.longValue)
       guard += 1
     }
     idx
