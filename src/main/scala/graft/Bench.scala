@@ -30,20 +30,61 @@ object Bench {
   }
 
   private def timeHeadline(spark: SparkSession, path: String): (Double, Long) = {
-    import org.apache.spark.sql.functions._
-    val pages = graft.sources.PagesSource.withLatLng(spark.read.parquet(path))
-    val n = pages.count()
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      graft.ops.SpatialJoin.pipJoin(spark, pages, SparkEntry.cityPolygons)
-        .select(count(graft.functions.S2.cellId(col("lat"), col("lng")))).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warmup: plans compiled, codegen JIT'd, OS page cache warm
+    val n = headlineRowCount(spark, path)
+    headlineOnce(spark, path) // warmup
     // Best-of-5: this sandbox shares a noisy host (load avg >5 with no
     // local processes), so min wall is the only robust statistic.
-    val walls = Seq.fill(5)(once()).sorted
+    val walls = Seq.fill(5)(headlineOnce(spark, path)).sorted
     (n / walls.head, n)
+  }
+
+  def headlineRowCount(spark: SparkSession, path: String): Long =
+    graft.sources.PagesSource.withLatLng(spark.read.parquet(path)).count()
+
+  /** One timed headline iteration: pages scan -> geocode parse -> S2 cell
+    * encode -> broadcast covering PIP join -> count. Returns wall seconds.
+    */
+  def headlineOnce(spark: SparkSession, path: String): Double = {
+    import org.apache.spark.sql.functions._
+    val pages = graft.sources.PagesSource.withLatLng(spark.read.parquet(path))
+    val t0 = System.nanoTime()
+    graft.ops.SpatialJoin.pipJoin(spark, pages, SparkEntry.cityPolygons)
+      .select(count(graft.functions.S2.cellId(col("lat"), col("lng")))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def loadavg1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Fixed CPU-bound calibration: `threads` Java threads each run the same
+    * deterministic xorshift64* loop; the wall time measures how much
+    * parallel CPU the host is ACTUALLY giving this JVM right now. On a
+    * quiet host this is a constant; under neighbor load it inflates
+    * roughly in proportion to the contention, so each benchmark sample
+    * can carry its own noise normalizer (this sandbox shares a host whose
+    * load average swings 2-15 with nothing running locally, and single
+    * measurements of identical code swing 3-4x with it).
+    */
+  def calibrationSecs(threads: Int, stepsPerThread: Long = 60000000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < stepsPerThread) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          i += 1
+        }
+        sink.addAndGet(x * 0x2545F4914F6CDD1DL)
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    if (sink.get == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,39 +104,80 @@ object Bench {
 
     // Pre-materialize the pages fixture so generation cost is not timed.
     graft.sources.PagesSource.pagesParquet(spark, sfDir)
-
-    // Headline FIRST: measured on a clean session, before the 27-query
-    // sweep fills the block manager with cached candidate sets and the
-    // JVM with 50+ compiled stages (r2's driver artifact regressed 17%
-    // purely from sweep-then-headline ordering on this noisy host).
-    val (rps, nRows) = headlineRowsPerSec(spark, sfDir)
-    // Drop headline residue (cached blocks, finished-stage shuffle files,
-    // old-gen garbage from the 10M-row scans) before timing the sweep.
-    spark.catalog.clearCache()
-    spark.sparkContext.parallelize(Seq(1)).count() // flush pending cleanup
-    System.gc()
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val pagesPath = {
+      val rows = 10000000L
+      val p = s"/root/repo/work/pages_n$rows.parquet"
+      if (!new java.io.File(p).exists())
+        graft.sources.PagesSource.generate(spark, rows)
+          .write.mode("overwrite").parquet(p)
+      p
     }
+    val nRows = headlineRowCount(spark, pagesPath)
+    val nThreads = cpus.toInt
+
+    // Headline protocol (round 4, after three rounds of weather-polluted
+    // artifacts): instead of 5 contiguous iterations — which a single
+    // correlated neighbor-load spike poisons wholesale — the headline
+    // iterations are INTERLEAVED across the query sweep (one before each
+    // sweep chunk, one after), spreading them over the full ~2-minute run.
+    // Each sample carries its own 1-minute loadavg and a fixed CPU-bound
+    // calibration wall so the artifact documents its measurement weather
+    // per-sample rather than pretending the min is the truth.
+    def dropResidue(): Unit = {
+      // Cached blocks, finished-stage shuffle files and old-gen garbage
+      // from earlier phases pollute later timings (r3 measured a 17%
+      // artifact regression from ordering alone).
+      spark.catalog.clearCache()
+      spark.sparkContext.parallelize(Seq(1)).count()
+      System.gc()
+    }
+
+    headlineOnce(spark, pagesPath) // warmup: plans compiled, codegen JIT'd
+    val samples = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    def takeSample(): Unit = {
+      dropResidue()
+      val load = loadavg1m()
+      val cal = calibrationSecs(nThreads)
+      val wall = headlineOnce(spark, pagesPath)
+      samples += ((wall, cal, load))
+    }
+
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+    val chunkSize = math.max(1, math.ceil(sweep.size / 5.0).toInt)
+    val chunks = sweep.grouped(chunkSize).toSeq
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    chunks.foreach { chunk =>
+      takeSample()
+      chunk.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        results += ((name, (System.nanoTime() - t0) / 1e9, ok))
+      }
+    }
+    takeSample()
+
+    val walls = samples.map(_._1)
+    val rpsBest = nRows / walls.min
+    // Load-adjusted estimate: scale each sample's throughput by how much
+    // slower its calibration loop ran than the run's quietest calibration
+    // (linear contention model — the same fixed work taking 2x longer
+    // means the host gave us ~half the CPU). This is an ESTIMATE carried
+    // alongside the raw samples, never a replacement for them.
+    val calMin = samples.map(_._2).min
+    val rpsAdjBest = samples.map { case (w, c, _) => (nRows / w) * (c / calMin) }.max
+
     // A crashed query must not masquerade as a fast timing: report -1 for
     // its wall time and list it under "errors".
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    // Stamp the host's 1-minute load average: this sandbox shares a noisy
-    // box (neighbor load swings single-run numbers 3-4x on identical
-    // code), so the artifact must document its own measurement weather.
-    val loadavg = try {
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
-    } catch { case _: Exception => "-1" }
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rps,"unit":"rows/sec","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":$loadavg,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sampleJson = samples.map { case (w, c, l) =>
+      s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_sec":$c,"loadavg":$l}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
