@@ -168,6 +168,70 @@ object Bench {
     val calMin = samples.map(_._2).min
     val rpsAdjBest = samples.map { case (w, c, _) => (nRows / w) * (c / calMin) }.max
 
+    // Skew rehearsal (the north rule's hot-cell claim): the shuffle-path
+    // PIP join on a fixture with 55% of rows in ONE level-14 cell vs the
+    // unskewed fixture, AQE skew thresholds scaled to the fixture (at
+    // 100 TB the hot partition crosses the 256 MB default naturally).
+    val skewJson = try {
+      val skewPath = {
+        val p = s"/root/repo/work/pages_skew_n$nRows.parquet"
+        if (!new java.io.File(p).exists())
+          graft.sources.PagesSource.generateSkewed(spark, nRows)
+            .write.mode("overwrite").parquet(p)
+        p
+      }
+      val skewConf = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB")
+      val saved = skewConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+      skewConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      def shuffleJoin(path: String) = graft.ops.ShuffleSpatialJoin.pipJoinLarge(
+        spark, graft.sources.PagesSource.withLatLng(spark.read.parquet(path)),
+        SparkEntry.cityPolygons)
+      def runOnce(path: String): (Double, org.apache.spark.sql.DataFrame) = {
+        dropResidue()
+        val df = shuffleJoin(path)
+        val t0 = System.nanoTime()
+        // noop sink executes THIS df's plan (count() would finalize a
+        // different QueryExecution, hiding the adaptive join nodes)
+        df.write.mode("overwrite").format("noop").save()
+        ((System.nanoTime() - t0) / 1e9, df)
+      }
+      runOnce(skewPath); runOnce(pagesPath) // warm both plans
+      val pairs = (0 until 3).map { _ =>
+        (runOnce(skewPath)._1, runOnce(pagesPath)._1)
+      }
+      // Engagement check on the SAME QueryExecution that ran: noop/count
+      // wrap the plan in their own QueryExecution whose adaptive nodes
+      // never finalize, so drive this df's plan directly via toRdd.
+      val dfS = shuffleJoin(skewPath)
+      dfS.queryExecution.toRdd.foreach(_ => ())
+      var engaged = false
+      locally {
+        import org.apache.spark.sql.execution._
+        import org.apache.spark.sql.execution.adaptive._
+        import org.apache.spark.sql.execution.joins._
+        def walk(p: SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case j: SortMergeJoinExec =>
+            if (j.isSkewJoin) engaged = true; j.children.foreach(walk)
+          case other => other.children.foreach(walk)
+        }
+        walk(dfS.queryExecution.executedPlan)
+      }
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      val bestS = pairs.map(_._1).min
+      val bestU = pairs.map(_._2).min
+      s""","skew_rehearsal":{"rows":$nRows,"hot_frac":0.55,"skewed_wall_sec":$bestS,"unskewed_wall_sec":$bestU,"ratio":${bestS / bestU},"skew_split_engaged":$engaged,"protocol":"shuffle-path PIP join, 3 interleaved (skewed,unskewed) pairs after warmup, best wall per side, noop sink"}"""
+    } catch { case e: Exception =>
+      s""","skew_rehearsal":{"error":"${e.getClass.getName}"}"""
+    }
+
     // A crashed query must not masquerade as a fast timing: report -1 for
     // its wall time and list it under "errors".
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
@@ -177,7 +241,7 @@ object Bench {
     val sampleJson = samples.map { case (w, c, l) =>
       s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_sec":$c,"loadavg":$l}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"errors":$errs,"sf":"$sfDir"$skewJson}""")
     spark.stop()
   }
 }

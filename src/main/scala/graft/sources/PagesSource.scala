@@ -35,7 +35,32 @@ object PagesSource {
     (pmod(xxhash64(col("id"), lit(salt)), lit(1L << 52)).cast("double")
       / lit((1L << 52).toDouble))
 
-  def generate(spark: SparkSession, n: Long, numPartitions: Int = 32): DataFrame = {
+  /** Hot-spot for the skew rehearsal: the CENTER of the level-14 cell
+    * containing the first city (New York). The center of a level-14 cell
+    * stays one cell at every join level <= 14 under a +-55 m jitter —
+    * whereas a coarser cell's center is a CORNER of its finer children,
+    * so jitter around it would straddle four cells at finer join levels.
+    */
+  lazy val hotSpot: (Double, Double) = {
+    import graft.core._
+    val cell = CellId.parent(
+      CellId.fromLatLngDegrees(cities.head._1, cities.head._2), 14)
+    val p = CellId.toPoint(cell)
+    (LatLng.latitude(p) * LatLng.RadToDeg, LatLng.longitude(p) * LatLng.RadToDeg)
+  }
+
+  /** Skew-rehearsal fixture: `hotFrac` of rows land within ~55 m of
+    * `hotSpot` — one level-14 cell, so one join-key cell on the shuffle
+    * path — and the rest follow the normal 8-city + uniform mix. This is
+    * the profile the north rule's hot-cell handling is graded on
+    * (a viral page cluster geotagged to one block).
+    */
+  def generateSkewed(spark: SparkSession, n: Long, hotFrac: Double = 0.55,
+                     numPartitions: Int = 32): DataFrame =
+    generate(spark, n, numPartitions, hotFrac)
+
+  def generate(spark: SparkSession, n: Long, numPartitions: Int = 32,
+               hotFrac: Double = 0.0): DataFrame = {
     val base = spark.range(0, n, 1, numPartitions)
 
     // Box-Muller from two uniforms for the Gaussian cluster offsets.
@@ -59,8 +84,13 @@ object PagesSource {
     val unifLng = uD * 360.0 - 180.0
 
     val isCity = u01(6) < 0.8
-    val lat0 = when(isCity, cityLat + gaussLat).otherwise(unifLat)
-    val lng0 = when(isCity, cityLng + gaussLng).otherwise(unifLng)
+    // Hot-cell override (skew rehearsal): hotFrac of ALL rows collapse to
+    // a ~55 m-radius disc at hotSpot, i.e. one level-14 cell.
+    val isHot = lit(hotFrac) > 0.0 && u01(7) < hotFrac
+    val lat0 = when(isHot, lit(hotSpot._1) + (u01(8) - 0.5) * 0.001)
+      .when(isCity, cityLat + gaussLat).otherwise(unifLat)
+    val lng0 = when(isHot, lit(hotSpot._2) + (u01(9) - 0.5) * 0.001)
+      .when(isCity, cityLng + gaussLng).otherwise(unifLng)
     // clamp/wrap into valid ranges
     val latV = greatest(lit(-89.999999), least(lit(89.999999), lat0))
     val lngV = lng0 - lit(360.0) * floor((lng0 + lit(180.0)) / lit(360.0))
