@@ -241,33 +241,64 @@ object Dedup {
   /** All-pairs word n-gram Jaccard above threshold — the exact (non-LSH)
     * dedup reference path, with a 1:1 SQL oracle.
     *
-    * Computed as an inverted gram index, not a cross join: pairs sharing
-    * no gram have Jaccard 0 and never materialize, so the work is
-    * sum-over-grams of (docs per gram)^2 instead of |docs|^2. Skewed
-    * common grams are the known hazard of this shape at corpus scale —
-    * production similarity joins add prefix filtering (only the rarest
-    * ceil((1-t)*|grams|)+1 grams of each doc need indexing to preserve
-    * exactness); the LSH path (minHashLsh) is the default scale path.
+    * Inverted gram index + AllPairs-style PREFIX FILTERING (Bayardo/Ma/
+    * Srikant, WWW'07): only each doc's |A| - ceil(t*|A|) + 1 RAREST grams
+    * (global document-frequency order, ties by gram) are indexed. Any
+    * pair with Jaccard >= t has overlap >= ceil(t*max(|A|,|B|)), so its
+    * two prefixes must share a gram — candidates stay a superset of the
+    * answer and the exact verification keeps the result identical to the
+    * unfiltered join. The payoff at corpus scale: a boilerplate gram
+    * shared by millions of docs has maximal document frequency, lands at
+    * the END of the order, and drops out of almost every prefix — the
+    * sum-over-grams-of-postings^2 blowup collapses to the rare-gram part.
+    * The LSH path (minHashLsh) remains the default approximate scale path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-      expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
-        s"i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))").as("grams"))
-    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n_grams"))
-    val ex = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.gram") === col("b.gram") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("nb")), "b_id")
+    val withSize = gramSets(docs, idCol, textCol, n)
+    val candidates = ngramJaccardCandidates(withSize, threshold)
+    val ga = withSize.select(col("doc_id").as("a_id"),
+      col("grams").as("a_grams"), col("n_grams").as("na"))
+    val gb = withSize.select(col("doc_id").as("b_id"),
+      col("grams").as("b_grams"), col("n_grams").as("nb"))
+    candidates
+      .join(ga, "a_id").join(gb, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** (doc_id, grams, n_grams): distinct word n-grams per doc. */
+  def gramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), " +
+        s"i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))").as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+
+  /** Prefix-filtered candidate pairs (superset of all pairs with Jaccard
+    * >= threshold). Exposed so the hot-gram spec can pin the candidate
+    * count the filter is there to bound.
+    */
+  def ngramJaccardCandidates(withSize: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = withSize.select(col("doc_id"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val freq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    // rarest-first canonical order; any consistent total order preserves
+    // exactness, df-ascending maximizes hot-gram pruning
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefix = ex.join(freq, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        (col("n_grams") - ceil(col("n_grams") * lit(threshold)) + 1).cast("int"))
+      .select("doc_id", "gram")
+    prefix.as("a")
+      .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   /** Cosine similarity of two float-array columns, computed with builtin

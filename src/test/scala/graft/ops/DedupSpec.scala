@@ -169,6 +169,46 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 2.0 / 4.0) < 1e-15)
   }
 
+  test("prefix filtering bounds hot-gram candidates without losing pairs") {
+    // 2010 docs that ALL share a 5-word boilerplate suffix (4 hot bigrams,
+    // document frequency 2010) plus 20 doc-unique words; 10 planted exact
+    // duplicates. The unfiltered inverted-index join would emit every
+    // co-boilerplate pair (~2M candidates); the prefix filter must keep
+    // only pairs sharing a RARE gram — the 10 planted ones — because the
+    // hot grams sort last in df order and fall outside every prefix.
+    import spark.implicits._
+    val boiler = "hot1 hot2 hot3 hot4 hot5"
+    val base = (0 until 2000).map { i =>
+      (i.toLong, (0 until 20).map(k => s"u${i}w$k").mkString(" ") + " " + boiler)
+    }
+    val dups = (0 until 10).map(i => (10000L + i, base(i)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val withSize = Dedup.gramSets(docs, "doc_id", "text", 2)
+    val nCand = Dedup.ngramJaccardCandidates(withSize, 0.5).count()
+    assert(nCand <= 100,
+      s"prefix filter must prune the hot-gram blowup, got $nCand candidates")
+
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === (0 until 10).map(i => (i.toLong, 10000L + i, 1.0)).toSet)
+  }
+
+  test("prefix-filtered jaccard pairs equal brute force on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val dist = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val local = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ida, ta) <- local; (idb, tb) <- local; if ida < idb
+      j = Dedup.ngramJaccard(ta, tb, 3)
+      if j >= 0.3
+    } yield (ida, idb, j)).toSet
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+    assert(dist === brute)
+  }
+
   test("multimodal: real codecs round-trip synthesize -> decode -> features") {
     val media = Multimodal.synthesize(spark, 300)
     val features = Multimodal.extractFeatures(media).collect()
