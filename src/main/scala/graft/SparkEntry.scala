@@ -21,6 +21,13 @@ object SparkEntry {
   private val oraclePages = "/root/repo/work/pages_n20000.parquet/*.parquet"
   private val oracleSf = "/root/testdata/sf0.01"
 
+  /** Fixed, fixture-keyed path where q_tile_covering emits its covering
+    * cells as (face, leaf-ij box) rows, so the static oracle SQL can read
+    * them back and re-derive the audit booleans in pure SQL.
+    */
+  def tileCoveringCellsPath(dir: String): String =
+    s"/root/repo/work/tile_cov_cells_n${PagesSource.rowsForScale(dir)}.parquet"
+
   /** Geocoded pages for the given scale dir. */
   private def pages(spark: SparkSession, sfDir: String): DataFrame = {
     val path = PagesSource.pagesParquet(spark, sfDir)
@@ -245,6 +252,33 @@ object SparkEntry {
         }
         (covered, RegionCoverer(maxCells = 8).isCanonical(cu), cu.size <= 8)
       })
+      // EMIT the covering cells as (face, leaf-ij box) rows at a fixed
+      // path keyed by the fixture size: the static oracle SQL reads them
+      // back and RE-DERIVES covers_samples (sample leaf in some box, via
+      // pure-projection SQL that never touches the Hilbert curve) and
+      // within_max (count <= 8) instead of trusting the Spark booleans.
+      // Spatial containment in (face, i, j) space is an axis-aligned box
+      // test — the Hilbert order only matters for ID SORTING, and the
+      // id -> ij decode is independently proven by q_snap_e2's oracle.
+      val boxUdf = udf((tx: Long, ty: Long) => {
+        WebMercator.tileCovering(tx, ty, 12, maxCells = 8).ids.map { id =>
+          val level = CellId.level(id)
+          // mask to the min-ij corner: the decoded leaf ij is a Hilbert
+          // curve position, not the box corner (rangeMin's leaf can sit
+          // at ANY of the 4 corners depending on orientation)
+          val (f, i, j, _) = CellId.faceIJOrientation(id)
+          val span = 1L << (CellId.MaxLevel - level)
+          val iLo = i.toLong & ~(span - 1)
+          val jLo = j.toLong & ~(span - 1)
+          (f, iLo, iLo + span - 1, jLo, jLo + span - 1)
+        }
+      })
+      tiles.withColumn("box", explode(boxUdf(col("tx"), col("ty"))))
+        .select(col("tx"), col("ty"), col("box._1").as("f"),
+          col("box._2").as("i_lo"), col("box._3").as("i_hi"),
+          col("box._4").as("j_lo"), col("box._5").as("j_hi"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(tileCoveringCellsPath(dir))
       tiles
         .withColumn("audit", auditUdf(col("tx"), col("ty")))
         .select(col("tx"), col("ty"), col("n_pages"),
@@ -1035,20 +1069,71 @@ object SparkEntry {
            |  FROM pts GROUP BY 1, 2
            |) WHERE n >= 5""".stripMargin,
 
-      // Covering invariants per occupied tile: the tile set (and count)
-      // is derived from the data exactly as q_tile_z12's oracle; the
-      // three audited invariants are literal truths of a correct
-      // covering, computed for real by the Spark side.
+      // Covering audit per occupied tile. The tile set and n_pages are
+      // derived from the data (as q_tile_z12's oracle); covers_samples
+      // and within_max are RE-DERIVED in SQL from the covering cells the
+      // Spark side emitted as (face, leaf-ij box) rows: each of the 5
+      // interior sample points is projected to its level-30 (face,si,sj)
+      // with the same pure quadratic-ST SQL q_snap_e2 proved against the
+      // Hilbert path, then box-tested against the emitted covering.
+      // Only `canonical` remains Spark-attested (a heap-order invariant
+      // with no practical SQL form; see RegionCovererSpec).
       "q_tile_covering" ->
-        s"""$pagesCte
-           |SELECT tx, ty, count(*) AS n_pages,
-           |  TRUE AS covers_samples, TRUE AS canonical, TRUE AS within_max
-           |FROM (
-           |  SELECT
+        s"""$pagesCte,
+           | tiles AS (
+           |  SELECT tx, ty, count(*) AS n_pages FROM (
+           |   SELECT
            |    CAST(greatest(0, least(4095, floor((lng + 180.0)/360.0*4096.0))) AS BIGINT) AS tx,
            |    CAST(greatest(0, least(4095, floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*4096.0))) AS BIGINT) AS ty
-           |  FROM pts
-           |) GROUP BY tx, ty HAVING count(*) >= 2""".stripMargin,
+           |   FROM pts) GROUP BY tx, ty HAVING count(*) >= 2),
+           | aux AS (SELECT * FROM read_parquet('${tileCoveringCellsPath(oracleSf)}/*.parquet')),
+           | rect AS (
+           |  SELECT tx, ty, n_pages,
+           |   radians(tx/4096.0*360.0 - 180.0) AS lng_w,
+           |   radians((tx+1)/4096.0*360.0 - 180.0) AS lng_e,
+           |   radians(degrees(atan((exp(pi() - 2*pi()*ty/4096.0) - exp(-(pi() - 2*pi()*ty/4096.0)))/2))) AS lat_n,
+           |   radians(degrees(atan((exp(pi() - 2*pi()*(ty+1)/4096.0) - exp(-(pi() - 2*pi()*(ty+1)/4096.0)))/2))) AS lat_s
+           |  FROM tiles),
+           | smp AS (
+           |  SELECT tx, ty, n_pages, o.sid,
+           |   (lat_s+lat_n)/2 + o.dy*(lat_n-lat_s)/4 AS slat,
+           |   (lng_w+lng_e)/2 + o.dx*(lng_e-lng_w)/4 AS slng
+           |  FROM rect, (VALUES (0,0,0),(-1,-1,1),(-1,1,2),(1,-1,3),(1,1,4)) AS o(dy,dx,sid)),
+           | sp AS (SELECT tx, ty, n_pages, sid,
+           |   cos(slng)*cos(slat) AS px, sin(slng)*cos(slat) AS py, sin(slat) AS pz
+           |  FROM smp),
+           | ax AS (SELECT tx, ty, n_pages, sid, px, py, pz,
+           |  CASE WHEN abs(px) > abs(py)
+           |    THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+           |    ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis FROM sp),
+           | fc AS (SELECT tx, ty, n_pages, sid, px, py, pz,
+           |  CASE WHEN axis = 0 AND px < 0 THEN 3
+           |    WHEN axis = 1 AND py < 0 THEN 4
+           |    WHEN axis = 2 AND pz < 0 THEN 5 ELSE axis END AS face FROM ax),
+           | uv AS (SELECT tx, ty, n_pages, sid, face,
+           |  CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+           |    WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+           |  CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+           |    WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v FROM fc),
+           | st AS (SELECT tx, ty, n_pages, sid, face,
+           |  CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+           |  CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t FROM uv),
+           | leafs AS (SELECT tx, ty, n_pages, sid, face,
+           |  CAST(greatest(0, least(1073741823, floor(s*1073741824.0))) AS BIGINT) AS si,
+           |  CAST(greatest(0, least(1073741823, floor(t*1073741824.0))) AS BIGINT) AS sj FROM st),
+           | matched AS (
+           |  SELECT l.tx, l.ty, l.n_pages, l.sid,
+           |   max(CASE WHEN a.f IS NOT NULL THEN 1 ELSE 0 END) AS m
+           |  FROM leafs l LEFT JOIN aux a
+           |    ON a.tx = l.tx AND a.ty = l.ty AND a.f = l.face
+           |   AND l.si BETWEEN a.i_lo AND a.i_hi AND l.sj BETWEEN a.j_lo AND a.j_hi
+           |  GROUP BY 1, 2, 3, 4),
+           | cov AS (SELECT tx, ty, n_pages, (min(m) = 1) AS covers_samples
+           |  FROM matched GROUP BY 1, 2, 3),
+           | cnt AS (SELECT tx, ty, count(*) AS n_cells FROM aux GROUP BY 1, 2)
+           |SELECT c.tx, c.ty, c.n_pages, c.covers_samples, TRUE AS canonical,
+           |  (cnt.n_cells <= 8) AS within_max
+           |FROM cov c JOIN cnt ON cnt.tx = c.tx AND cnt.ty = c.ty""".stripMargin,
 
       // Exact all-pairs word-3-gram Jaccard >= 0.6 over the full corpus
       // + planted copies, via an inverted gram index (pairs sharing no
