@@ -572,6 +572,20 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // IVF with the k-means-refined quantizer (2 Lloyd iterations over the
+    // corpus). The oracle re-runs Lloyd in SQL: per-dim means with float
+    // rounding per iteration, argmax assignment with first-wins ties.
+    // Centroid VALUES need only be float-equal, not summation-order-
+    // equal: every comparison downstream (assignment, probe, re-rank)
+    // has margins orders of magnitude above the 1-ulp mean noise.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.ivfTopK(s, emb, queries, k = 3, kmeansIters = 2)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // Multimodal: REAL decode + feature extraction over binary media
     // payloads (PNG via ImageIO, WAV via javax.sound, PNG-frame video
     // container). Every feature is a deterministic function of the id,
@@ -1232,6 +1246,58 @@ object SparkEntry {
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY list_cosine_similarity(e.emb, cent.cvec) DESC, cent.c ASC) AS rn
            |    FROM e CROSS JOIN cent WHERE e.vec_id < 16) WHERE rn <= 4),
+           | cands AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (c)
+           |           WHERE a.vec_id <> p.q_id)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT ca.q_id, ca.vec_id,
+           |    CAST(row_number() OVER (PARTITION BY ca.q_id
+           |      ORDER BY list_cosine_similarity(eq.emb, ec.emb) DESC, ca.vec_id ASC) AS BIGINT) AS rank
+           |  FROM cands ca JOIN e eq ON eq.vec_id = ca.q_id JOIN e ec ON ec.vec_id = ca.vec_id)
+           |WHERE rank <= 3""".stripMargin,
+
+      // Lloyd-refined IVF, fully re-run in SQL: two k-means iterations
+      // (argmax assignment with first-wins ties, per-dim means rounded
+      // to float like the Scala side's .toFloat), then the same
+      // assignment / nProbe=4 probing / exact re-rank as q_ann_ivf.
+      // Ranking by dot/(|e||c|) vs the Scala loop's dot/sqrt(na*nb) is
+      // the same quantity; margins dwarf summation-order noise.
+      "q_ann_ivf_kmeans" ->
+        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+           |           FROM read_parquet('$oracleSf/embeddings.parquet')),
+           | dims AS (SELECT unnest(range(64)) AS dim),
+           | c0 AS (SELECT vec_id AS c, dim, emb[dim+1] AS val FROM e, dims WHERE vec_id < 16),
+           | s0 AS (SELECT e.vec_id, cr.c,
+           |    sum(e.emb[cr.dim+1]*cr.val) /
+           |    sqrt(sum(e.emb[cr.dim+1]*e.emb[cr.dim+1])*sum(cr.val*cr.val)) AS s
+           |  FROM e CROSS JOIN c0 cr WHERE cr.dim >= 0 GROUP BY e.vec_id, cr.c),
+           | a0 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+           |  FROM s0) WHERE rn = 1),
+           | m0 AS (SELECT a.c, d.dim, CAST(CAST(avg(e.emb[d.dim+1]) AS REAL) AS DOUBLE) AS val
+           |  FROM a0 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY a.c, d.dim),
+           | c1 AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val
+           |  FROM c0 p LEFT JOIN m0 m ON m.c = p.c AND m.dim = p.dim),
+           | s1 AS (SELECT e.vec_id, cr.c,
+           |    sum(e.emb[cr.dim+1]*cr.val) /
+           |    sqrt(sum(e.emb[cr.dim+1]*e.emb[cr.dim+1])*sum(cr.val*cr.val)) AS s
+           |  FROM e CROSS JOIN c1 cr WHERE cr.dim >= 0 GROUP BY e.vec_id, cr.c),
+           | a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+           |  FROM s1) WHERE rn = 1),
+           | m1 AS (SELECT a.c, d.dim, CAST(CAST(avg(e.emb[d.dim+1]) AS REAL) AS DOUBLE) AS val
+           |  FROM a1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY a.c, d.dim),
+           | c2 AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val
+           |  FROM c1 p LEFT JOIN m1 m ON m.c = p.c AND m.dim = p.dim),
+           | s2 AS (SELECT e.vec_id, cr.c,
+           |    sum(e.emb[cr.dim+1]*cr.val) /
+           |    sqrt(sum(e.emb[cr.dim+1]*e.emb[cr.dim+1])*sum(cr.val*cr.val)) AS s
+           |  FROM e CROSS JOIN c2 cr WHERE cr.dim >= 0 GROUP BY e.vec_id, cr.c),
+           | assign AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+           |  FROM s2) WHERE rn = 1),
+           | probes AS (SELECT vec_id AS q_id, c FROM (SELECT vec_id, c,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+           |  FROM s2 WHERE vec_id < 16) WHERE rn <= 4),
            | cands AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (c)
            |           WHERE a.vec_id <> p.q_id)
            |SELECT q_id, vec_id, rank FROM (
