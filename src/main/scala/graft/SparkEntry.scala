@@ -21,6 +21,11 @@ object SparkEntry {
   private val oraclePages = "/root/repo/work/pages_n20000.parquet/*.parquet"
   private val oracleSf = "/root/testdata/sf0.01"
 
+  /** Memory-sink names must be unique per streaming run within a JVM
+    * (Verify and Bench both call q_stream_neardup in one session).
+    */
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Fixed, fixture-keyed path where q_tile_covering emits its covering
     * cells as (face, leaf-ij box) rows, so the static oracle SQL can read
     * them back and re-derive the audit booleans in pure SQL.
@@ -429,6 +434,41 @@ object SparkEntry {
       graft.ops.Dedup.minHashLsh(s, docs.unionByName(planted),
         "doc_id", "text", threshold = 0.6)
         .select(col("a_id"), col("b_id"), col("jaccard"))
+    }),
+
+    // The STREAMING near-dup screen under the same hard gate as the
+    // batch path: the q_minhash_lsh fixture is fed as three deterministic
+    // MemoryStream micro-batches through the stateful per-bucket screen;
+    // the emitted pair set (sink-side distinct, the documented
+    // at-least-once pattern) must equal the batch oracle's exact
+    // all-pairs Jaccard >= 0.6 set. Timestamps span ~100 s, so the
+    // 5-minute watermark never evicts state mid-fixture and banding
+    // recall 1.0 carries over from the batch proof.
+    "q_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val all = (base ++ base.map { case (id, t) =>
+        (id + 100000L, t + " graftdupmarker")
+      }).sortBy(_._1)
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val hits = graft.streaming.StreamingCells.streamingNearDups(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      val qname = s"q_stream_neardup_${streamRunCounter.incrementAndGet()}"
+      val query = hits.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        all.grouped((all.length + 2) / 3).foreach { b =>
+          mem.addData(b.toSeq.map { case (id, t) =>
+            (new java.sql.Timestamp(1767225600000L + id), id, t)
+          })
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
     }),
 
     // SimHash near-dup pairs at Hamming distance <= 3 (rows-only).
@@ -861,6 +901,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val polys = cityPolygons
+    // Exact all-pairs word-3-gram Jaccard >= 0.6 over the full corpus
+    // + planted copies, via an inverted gram index (pairs sharing no
+    // gram have Jaccard 0 and drop out of the join). Shared by
+    // q_minhash_lsh (batch LSH) and q_stream_neardup (stateful
+    // streaming screen over the same corpus): on this fixture banding
+    // recall is provably 1.0 (min emitted Jaccard 0.75, max bucket
+    // 6 << cap), so both approximate pipelines emit exactly this set.
+    val minhashExactPairsSql =
+      s"""WITH base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
+         | docs AS (SELECT doc_id, text FROM base
+         |          UNION ALL SELECT doc_id + 100000, text || ' graftdupmarker' FROM base),
+         | grams AS (
+         |   SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         |     for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))]) AS g
+         |   FROM docs),
+         | sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+         | ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+         | inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |           FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6""".stripMargin
     Map(
       "q_edge_knn" -> edgeKnnSql,
       "q_edge_far" -> edgeRankSql(negateQueries = true),
@@ -1149,29 +1213,14 @@ object SparkEntry {
            |  (cnt.n_cells <= 8) AS within_max
            |FROM cov c JOIN cnt ON cnt.tx = c.tx AND cnt.ty = c.ty""".stripMargin,
 
-      // Exact all-pairs word-3-gram Jaccard >= 0.6 over the full corpus
-      // + planted copies, via an inverted gram index (pairs sharing no
-      // gram have Jaccard 0 and drop out of the join). The LSH path's
-      // banding provably finds every such pair on this fixture (min
-      // emitted Jaccard 0.75, max bucket 6 << cap), so the approximate
-      // pipeline's output equals the exact pair set.
-      "q_minhash_lsh" ->
-        s"""WITH base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
-           | docs AS (SELECT doc_id, text FROM base
-           |          UNION ALL SELECT doc_id + 100000, text || ' graftdupmarker' FROM base),
-           | grams AS (
-           |   SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
-           |     for i in range(1, greatest(len(string_split(text, ' ')) - 1, 2))]) AS g
-           |   FROM docs),
-           | sizes AS (SELECT doc_id, len(g) AS n FROM grams),
-           | ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
-           | inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-           |           FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-           |           GROUP BY 1, 2)
-           |SELECT a_id, b_id,
-           |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-           |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-           |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6""".stripMargin,
+      "q_minhash_lsh" -> minhashExactPairsSql,
+
+      // The streaming screen's at-least-once pair stream, distinct'd at
+      // the sink, must equal the same exact batch set: state never
+      // evicts mid-fixture (event-time span ~100 s << 5 min watermark)
+      // and every bucket stays below the cap, so cross-batch pairs are
+      // all observed.
+      "q_stream_neardup" -> minhashExactPairsSql,
 
       // Full SimHash reimplementation in SQL: FNV-1a 64 per token (the
       // fixture is pure ASCII, so codepoints == UTF-8 bytes), 64-bit
