@@ -145,15 +145,16 @@ object Bench {
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
     val chunkSize = math.max(1, math.ceil(sweep.size / 5.0).toInt)
     val chunks = sweep.grouped(chunkSize).toSeq
-    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean, Double)]()
     chunks.foreach { chunk =>
       takeSample()
       chunk.foreach { case (name, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm
+        val load = loadavg1m()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-        results += ((name, (System.nanoTime() - t0) / 1e9, ok))
+        results += ((name, (System.nanoTime() - t0) / 1e9, ok, load))
       }
     }
     takeSample()
@@ -234,14 +235,19 @@ object Bench {
 
     // A crashed query must not masquerade as a fast timing: report -1 for
     // its wall time and list it under "errors".
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
+      .mkString("{", ",", "}")
+    // per-query measurement weather: the sweep spans ~2 min on a shared
+    // host, so a single end-of-run loadavg cannot explain which query
+    // timings a neighbor spike landed on.
+    val qload = results.map { case (k, _, _, l) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val sampleJson = samples.map { case (w, c, l) =>
       s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_sec":$c,"loadavg":$l}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"errors":$errs,"sf":"$sfDir"$skewJson}""")
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
     spark.stop()
   }
 }

@@ -493,6 +493,54 @@ object SparkEntry {
       s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
     }),
 
+    // Watermark EVICTION under the hard gate: epoch A (base docs at T0)
+    // and epoch B (planted copies at T0+70min) are separated by more
+    // than watermark delay (5min) + state retention (30min), with two
+    // sentinel micro-batches in between that advance the watermark and
+    // fire every epoch-A bucket's event-time timeout BEFORE epoch B
+    // arrives. A correct screen therefore emits ONLY within-epoch pairs;
+    // the 500 cross-epoch planted pairs — which q_stream_neardup proves
+    // the same screen DOES find when state is live — must be absent. The
+    // oracle is the exact all-pairs set restricted to within-epoch
+    // pairs, so a single surviving cross pair hash-mismatches.
+    "q_stream_evict" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val t0 = 1767225600000L
+      val min = 60000L
+      val epochA = base.sortBy(_._1).map { case (id, t) =>
+        (new java.sql.Timestamp(t0 + id), id, t) }
+      val epochB = base.sortBy(_._1).map { case (id, t) =>
+        (new java.sql.Timestamp(t0 + 70 * min + id), id + 100000L, t + " graftdupmarker") }
+      val sentinels = Seq(
+        (new java.sql.Timestamp(t0 + 65 * min), 900001L,
+          "graft watermark sentinel alpha advancing event time"),
+        (new java.sql.Timestamp(t0 + 66 * min), 900002L,
+          "unrelated beacon row with disjoint vocabulary entirely"))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val hits = graft.streaming.StreamingCells.streamingNearDups(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      val qname = s"q_stream_evict_${streamRunCounter.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = hits.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          // 4 deterministic micro-batches: A, sentinel, sentinel
+          // (timeouts fire here: watermark 60min > A's maxTs+30min), B.
+          Seq(epochA.toSeq, Seq(sentinels.head), Seq(sentinels(1)), epochB.toSeq)
+            .foreach { b => mem.addData(b); query.processAllAvailable() }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
+    }),
+
     // SimHash near-dup pairs at Hamming distance <= 3 (rows-only).
     "q_simhash" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1243,6 +1291,16 @@ object SparkEntry {
       // and every bucket stays below the cap, so cross-batch pairs are
       // all observed.
       "q_stream_neardup" -> minhashExactPairsSql,
+
+      // Eviction proof: only within-epoch pairs survive (the epochs are
+      // separated by more than watermark + retention and the timeouts
+      // are fired by sentinel batches before epoch B arrives). The 500
+      // cross-epoch planted pairs in the unrestricted set act as the
+      // tripwire: any one of them surviving fails the hash.
+      "q_stream_evict" ->
+        s"""SELECT a_id, b_id, jaccard FROM ($minhashExactPairsSql)
+           |WHERE (a_id < 500 AND b_id < 500)
+           |   OR (a_id >= 100000 AND b_id >= 100000)""".stripMargin,
 
       // Full SimHash reimplementation in SQL: FNV-1a 64 per token (the
       // fixture is pure ASCII, so codepoints == UTF-8 bytes), 64-bit
