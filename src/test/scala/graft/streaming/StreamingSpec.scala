@@ -161,4 +161,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head._1 === 1L && out.head._2 === 3L)
     assert(out.head._3 === graft.ops.Dedup.ngramJaccard(base, base + " extra", 3))
   }
+
+  test("near-dup screen evicts state across an over-retention event-time gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val hits = StreamingCells.streamingNearDups(docs,
+      watermarkDelay = "2 minutes", retentionMillis = 10 * 60 * 1000L)
+    val query = hits.writeStream
+      .format("memory").queryName("neardups_evict").outputMode("append").start()
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    // epoch A: the original + an in-epoch near-dup (must pair)
+    input.addData((ts(0), 1L, base), (ts(0), 2L, base + " extra"))
+    query.processAllAvailable()
+    // two sentinel batches advance the watermark past maxTs + retention
+    // and fire the idle buckets' event-time timeouts BEFORE epoch B: the
+    // first carries the high timestamp, the second lets the watermark
+    // computed from it take effect while A's buckets are idle.
+    input.addData((ts(30), 8L, "sentinel alpha advancing the event time watermark"))
+    query.processAllAvailable()
+    input.addData((ts(31), 9L, "different beacon vocabulary entirely disjoint"))
+    query.processAllAvailable()
+    // epoch B: another near-dup of the SAME text — state was evicted, so
+    // it must NOT pair with epoch A, only with its own epoch
+    input.addData((ts(35), 3L, base + " fresh"), (ts(35), 4L, base))
+    query.processAllAvailable()
+
+    val out = spark.sql("select a_id, b_id from neardups_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(out === Set((1L, 2L), (3L, 4L)), s"got $out")
+  }
 }
