@@ -171,6 +171,33 @@ object SparkEntry {
         .select(col("url"), col("poly_id"))
     }),
 
+    // CHECKPOINT/RESUME under the hard gate: the same PIP join executed
+    // as resumable Hilbert-range chunks with a simulated crash after 3
+    // of 6 chunks; the second invocation resumes from the manifest (the
+    // 3 completed chunks must be skipped, the rest processed) and the
+    // union of chunk outputs must hash-equal q_pip_city's convex-SQL
+    // oracle — proving the chunk ranges partition the cell line exactly
+    // and the crash/resume cycle neither loses nor duplicates a row.
+    "q_checkpoint" -> ((s, dir) => {
+      import graft.functions.S2
+      val input = pages(s, dir)
+        .withColumn("cell", S2.cellId(col("lat"), col("lng")))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_").toString
+      def go(failAfter: Int) = graft.pipeline.CheckpointedPipeline.run(
+        s, input, "cell",
+        chunk => SpatialJoin.pipJoin(s, chunk, cityPolygons)
+          .select(col("url"), col("poly_id")),
+        outDir, nChunks = 6, failAfterChunks = failAfter)
+      val first = go(3)
+      require(first.count(!_.skipped) == 3, s"crashed run: $first")
+      val second = go(Int.MaxValue)
+      require(second.count(_.skipped) == 3 && second.count(!_.skipped) == 3,
+        s"resumed run: $second")
+      s.read.parquet((0 until 6).map(i => s"$outDir/chunk_$i"): _*)
+        .select(col("url"), col("poly_id"))
+    }),
+
     // Covering join with lat/lng rectangle regions (coverer + interior
     // fast path; refine = closed rect containment).
     "q_rect_join" -> ((s, dir) => {
@@ -995,6 +1022,12 @@ object SparkEntry {
          |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6""".stripMargin
+    val pipCitySql = {
+      val branches = polys.map { case (id, loop) =>
+        s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
+      }
+      s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+    }
     Map(
       "q_edge_knn" -> edgeKnnSql,
       "q_edge_far" -> edgeRankSql(negateQueries = true),
@@ -1033,12 +1066,11 @@ object SparkEntry {
            |  CAST(greatest(0, least(63, floor(t*64))) AS BIGINT) AS j6,
            |  count(*) AS n_pages
            |FROM st GROUP BY 1, 2, 3""".stripMargin,
-      "q_pip_city" -> {
-        val branches = polys.map { case (id, loop) =>
-          s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
-        }
-        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
-      },
+      "q_pip_city" -> pipCitySql,
+
+      // Chunked/resumed execution must reproduce the identical join:
+      // same oracle as q_pip_city.
+      "q_checkpoint" -> pipCitySql,
 
       "q_rect_join" -> {
         val branches = cityRects.map { case (id, latLo, lngLo, latHi, lngHi) =>
