@@ -287,8 +287,11 @@ object SparkEntry {
       // EMIT the covering cells as (face, leaf-ij box) rows at a fixed
       // path keyed by the fixture size: the static oracle SQL reads them
       // back and RE-DERIVES covers_samples (sample leaf in some box, via
-      // pure-projection SQL that never touches the Hilbert curve) and
-      // within_max (count <= 8) instead of trusting the Spark booleans.
+      // pure-projection SQL that never touches the Hilbert curve),
+      // canonical (pairwise box disjointness + no complete 4-sibling
+      // quartet + the >maxCells shared-ancestor rule — the full
+      // isCanonical semantics at minLevel=0/levelMod=1), and within_max
+      // (count <= 8) instead of trusting the Spark booleans.
       // Spatial containment in (face, i, j) space is an axis-aligned box
       // test — the Hilbert order only matters for ID SORTING, and the
       // id -> ij decode is independently proven by q_snap_e2's oracle.
@@ -1310,10 +1313,30 @@ object SparkEntry {
            |  GROUP BY 1, 2, 3, 4),
            | cov AS (SELECT tx, ty, n_pages, (min(m) = 1) AS covers_samples
            |  FROM matched GROUP BY 1, 2, 3),
-           | cnt AS (SELECT tx, ty, count(*) AS n_cells FROM aux GROUP BY 1, 2)
-           |SELECT c.tx, c.ty, c.n_pages, c.covers_samples, TRUE AS canonical,
+           | cnt AS (SELECT tx, ty, count(*) AS n_cells FROM aux GROUP BY 1, 2),
+           | fcnt AS (SELECT tx, ty, max(c) AS max_per_face FROM
+           |   (SELECT tx, ty, f, count(*) AS c FROM aux GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2),
+           | auxn AS (SELECT *, row_number() OVER (
+           |   PARTITION BY tx, ty ORDER BY f, i_lo, j_lo, i_hi) AS rid FROM aux),
+           | ovl AS (SELECT DISTINCT a.tx, a.ty FROM auxn a JOIN auxn b
+           |   ON a.tx = b.tx AND a.ty = b.ty AND a.f = b.f AND a.rid < b.rid
+           |  AND a.i_lo <= b.i_hi AND b.i_lo <= a.i_hi
+           |  AND a.j_lo <= b.j_hi AND b.j_lo <= a.j_hi),
+           | quart AS (SELECT DISTINCT tx, ty FROM (
+           |   SELECT tx, ty, f, (i_hi - i_lo + 1) AS span,
+           |     i_lo // ((i_hi - i_lo + 1) * 2) AS pi,
+           |     j_lo // ((j_hi - j_lo + 1) * 2) AS pj, count(*) AS c
+           |   FROM aux WHERE (i_hi - i_lo + 1) < 1073741824
+           |   GROUP BY 1, 2, 3, 4, 5, 6 HAVING count(*) = 4))
+           |SELECT c.tx, c.ty, c.n_pages, c.covers_samples,
+           |  ((o.tx IS NULL) AND (q.tx IS NULL)
+           |   AND (cnt.n_cells <= 8 OR fc.max_per_face <= 1)) AS canonical,
            |  (cnt.n_cells <= 8) AS within_max
-           |FROM cov c JOIN cnt ON cnt.tx = c.tx AND cnt.ty = c.ty""".stripMargin,
+           |FROM cov c JOIN cnt ON cnt.tx = c.tx AND cnt.ty = c.ty
+           |JOIN fcnt fc ON fc.tx = c.tx AND fc.ty = c.ty
+           |LEFT JOIN ovl o ON o.tx = c.tx AND o.ty = c.ty
+           |LEFT JOIN quart q ON q.tx = c.tx AND q.ty = c.ty""".stripMargin,
 
       "q_minhash_lsh" -> minhashExactPairsSql,
 
