@@ -133,13 +133,18 @@ object Bench {
     }
 
     headlineOnce(spark, pagesPath) // warmup: plans compiled, codegen JIT'd
-    val samples = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    // (wall, calPre, calPost, loadavg): the calibration loop runs BOTH
+    // before and after the timed iteration — a neighbor spike landing
+    // inside the sample but outside a single pre-calibration would
+    // otherwise go unmeasured; the pair brackets the sample.
+    val samples = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
     def takeSample(): Unit = {
       dropResidue()
       val load = loadavg1m()
-      val cal = calibrationSecs(nThreads)
+      val calPre = calibrationSecs(nThreads)
       val wall = headlineOnce(spark, pagesPath)
-      samples += ((wall, cal, load))
+      val calPost = calibrationSecs(nThreads)
+      samples += ((wall, calPre, calPost, load))
     }
 
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -162,12 +167,13 @@ object Bench {
     val walls = samples.map(_._1)
     val rpsBest = nRows / walls.min
     // Load-adjusted estimate: scale each sample's throughput by how much
-    // slower its calibration loop ran than the run's quietest calibration
-    // (linear contention model — the same fixed work taking 2x longer
-    // means the host gave us ~half the CPU). This is an ESTIMATE carried
-    // alongside the raw samples, never a replacement for them.
-    val calMin = samples.map(_._2).min
-    val rpsAdjBest = samples.map { case (w, c, _) => (nRows / w) * (c / calMin) }.max
+    // slower its bracketing calibrations ran than the run's quietest
+    // calibration (linear contention model — the same fixed work taking
+    // 2x longer means the host gave us ~half the CPU). This is an
+    // ESTIMATE carried alongside the raw samples, never a replacement.
+    val calOf = (t: (Double, Double, Double, Double)) => (t._2 + t._3) / 2
+    val calMin = samples.map(calOf).min
+    val rpsAdjBest = samples.map { t => (nRows / t._1) * (calOf(t) / calMin) }.max
 
     // Skew rehearsal (the north rule's hot-cell claim): the shuffle-path
     // PIP join on a fixture with 55% of rows in ONE level-14 cell vs the
@@ -244,10 +250,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val sampleJson = samples.map { case (w, c, l) =>
-      s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_sec":$c,"loadavg":$l}"""
+    val sampleJson = samples.map { case (w, cPre, cPost, l) =>
+      s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_pre_sec":$cPre,"cal_post_sec":$cPost,"loadavg":$l}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * cal_sec/min(cal_sec): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop timed before each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * mean(cal_pre,cal_post)/min over samples: linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop bracketing each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
     spark.stop()
   }
 }
