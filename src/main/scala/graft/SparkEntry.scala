@@ -178,6 +178,10 @@ object SparkEntry {
     // union of chunk outputs must hash-equal q_pip_city's convex-SQL
     // oracle — proving the chunk ranges partition the cell line exactly
     // and the crash/resume cycle neither loses nor duplicates a row.
+    // (The fixture computes `cell` on the fly, so each chunk filter
+    // re-scans the input; production inputs store the cell column via
+    // CellClusteredWrite, making the same BETWEEN filter pushable and
+    // file-skipping — that path is spec'd in CellClusteredWriteSpec.)
     "q_checkpoint" -> ((s, dir) => {
       import graft.functions.S2
       val input = pages(s, dir)
