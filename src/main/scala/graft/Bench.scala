@@ -348,7 +348,9 @@ object ScalingBench {
          |splits -- the shape that scales linearly when N and 4N executors
          |have dedicated cores.
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_local.md"), md)
+    // BENCH_local.md is the curated multi-run record; raw output goes to
+    // its own file so a rerun cannot clobber the curation.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_scaling_last.md"), md)
     println(md)
     println(s"""SCALING_FINAL {"rows":$n,"cores_lo":$loCores,"cores_hi":$hiCores,"rps_lo":$rpsLo,"rps_hi":$rpsHi,"efficiency":$efficiency}""")
   }
