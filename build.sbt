@@ -17,6 +17,10 @@ Test / fork := true
 // deterministic.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked run's stdout through verbatim: sbt's default logger
+// prefixes every child line with "[info] ", which breaks any consumer
+// that parses the Bench/Verify JSON line from captured stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
