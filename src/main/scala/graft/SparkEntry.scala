@@ -202,6 +202,36 @@ object SparkEntry {
         .select(col("url"), col("poly_id"))
     }),
 
+    // HILBERT-CLUSTERED WRITE under the hard gate: pages are written
+    // range-partitioned + sorted in unsigned cell order (the plain-
+    // parquet analogue of Iceberg write.order-by), then read back
+    // through a face-2 cell-range predicate. The oracle derives the
+    // same url set from raw lat/lng via pure-projection SQL (the face
+    // decode q_cell_agg's oracle already proves), so the row hash
+    // proves the write/range-scan round trip loses and invents
+    // nothing; the require() pins physical clustering — face-2 rows
+    // (~24% of the fixture) must land in at most half the files, which
+    // an unclustered layout (all rows in all files) fails.
+    "q_clustered" -> ((s, dir) => {
+      import graft.functions.S2
+      import graft.core.CellId
+      import graft.pipeline.CellClusteredWrite
+      val input = pages(s, dir)
+        .withColumn("cell", S2.cellId(col("lat"), col("lng")))
+        .select(col("url"), col("cell"))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_clust_").toString
+      CellClusteredWrite.writeClustered(input, "cell", outDir, numFiles = 16)
+      val back = s.read.parquet(outDir)
+      val sel = back.filter(CellClusteredWrite.cellRangePredicate(
+        CellId.rangeMin(CellId.fromFace(2)), CellId.rangeMax(CellId.fromFace(2))))
+      val filesWith = sel.select(input_file_name()).distinct().count()
+      val filesTotal = back.select(input_file_name()).distinct().count()
+      require(filesWith * 2 <= filesTotal,
+        s"clustering broken: face-2 rows span $filesWith of $filesTotal files")
+      sel.select(col("url"))
+    }),
+
     // Covering join with lat/lng rectangle regions (coverer + interior
     // fast path; refine = closed rect containment).
     "q_rect_join" -> ((s, dir) => {
@@ -1078,6 +1108,21 @@ object SparkEntry {
       // Chunked/resumed execution must reproduce the identical join:
       // same oracle as q_pip_city.
       "q_checkpoint" -> pipCitySql,
+
+      // The clustered-write round trip filtered to face 2, derived from
+      // raw lat/lng by the projection SQL (no Hilbert curve needed:
+      // face is the top-level split of the cell-id order).
+      "q_clustered" ->
+        s"""$pagesCte, f1 AS (
+           |  SELECT url, CASE WHEN abs(px) > abs(py)
+           |    THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+           |    ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis,
+           |    px, py, pz FROM pts),
+           | f2 AS (SELECT url, CASE WHEN axis = 0 AND px < 0 THEN 3
+           |    WHEN axis = 1 AND py < 0 THEN 4
+           |    WHEN axis = 2 AND pz < 0 THEN 5 ELSE axis END AS face
+           |  FROM f1)
+           |SELECT url FROM f2 WHERE face = 2""".stripMargin,
 
       "q_rect_join" -> {
         val branches = cityRects.map { case (id, latLo, lngLo, latHi, lngHi) =>
