@@ -10,24 +10,24 @@ import org.apache.spark.sql.SparkSession
   * excluded from the measurement.
   */
 object Bench {
-  def headlineRowsPerSec(spark: SparkSession, sfDir: String): (Double, Long) = {
-    // The headline measurement uses a fixed 10M-row fixture regardless
-    // of sf (correctness queries still use the sf-scaled fixture). At 2M
-    // rows the measurement was dominated by fixed stage/task dispatch
-    // overhead (~0.2s of a ~0.38s run); 10M rows puts >80% of the wall
-    // in the actual scan+encode+join work the metric names.
-    headlineRowsPerSecAt(spark, 10000000L)
-  }
-
-  /** Same headline at an explicit row count (scaling experiments). */
-  def headlineRowsPerSecAt(spark: SparkSession, rows: Long): (Double, Long) = {
+  /** Ensure the fixed-row pages fixture exists and return its path.
+    * (10M rows for the driver headline: at 2M rows the measurement was
+    * dominated by fixed stage/task dispatch overhead — ~0.2s of a
+    * ~0.38s run; 10M puts >80% of the wall in the actual
+    * scan+encode+join work the metric names.)
+    */
+  def ensurePagesFixture(spark: SparkSession, rows: Long): String = {
     val path = s"/root/repo/work/pages_n$rows.parquet"
     if (!new java.io.File(path).exists()) {
       graft.sources.PagesSource.generate(spark, rows)
         .write.mode("overwrite").parquet(path)
     }
-    timeHeadline(spark, path)
+    path
   }
+
+  /** Headline throughput at an explicit row count (scaling experiments). */
+  def headlineRowsPerSecAt(spark: SparkSession, rows: Long): (Double, Long) =
+    timeHeadline(spark, ensurePagesFixture(spark, rows))
 
   private def timeHeadline(spark: SparkSession, path: String): (Double, Long) = {
     val n = headlineRowCount(spark, path)
@@ -104,14 +104,7 @@ object Bench {
 
     // Pre-materialize the pages fixture so generation cost is not timed.
     graft.sources.PagesSource.pagesParquet(spark, sfDir)
-    val pagesPath = {
-      val rows = 10000000L
-      val p = s"/root/repo/work/pages_n$rows.parquet"
-      if (!new java.io.File(p).exists())
-        graft.sources.PagesSource.generate(spark, rows)
-          .write.mode("overwrite").parquet(p)
-      p
-    }
+    val pagesPath = ensurePagesFixture(spark, 10000000L)
     val nRows = headlineRowCount(spark, pagesPath)
     val nThreads = cpus.toInt
 
@@ -173,7 +166,12 @@ object Bench {
     // ESTIMATE carried alongside the raw samples, never a replacement.
     val calOf = (t: (Double, Double, Double, Double)) => (t._2 + t._3) / 2
     val calMin = samples.map(calOf).min
-    val rpsAdjBest = samples.map { t => (nRows / t._1) * (calOf(t) / calMin) }.max
+    // median, not max: max would select exactly the sample whose
+    // calibration was most inflated relative to its wall (a spike inside
+    // the calibration bracket but outside the timed run) — an optimistic
+    // bias the raw-sample honesty effort exists to avoid
+    val adjAll = samples.map { t => (nRows / t._1) * (calOf(t) / calMin) }.sorted
+    val rpsAdjBest = adjAll(adjAll.size / 2)
 
     // Skew rehearsal (the north rule's hot-cell claim): the shuffle-path
     // PIP join on a fixture with 55% of rows in ONE level-14 cell vs the
@@ -193,6 +191,7 @@ object Bench {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB")
       val saved = skewConf.map { case (k, _) => k -> spark.conf.getOption(k) }
       skewConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
       def shuffleJoin(path: String) = graft.ops.ShuffleSpatialJoin.pipJoinLarge(
         spark, graft.sources.PagesSource.withLatLng(spark.read.parquet(path)),
         SparkEntry.cityPolygons)
@@ -228,13 +227,15 @@ object Bench {
         }
         walk(dfS.queryExecution.executedPlan)
       }
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
       val bestS = pairs.map(_._1).min
       val bestU = pairs.map(_._2).min
       s""","skew_rehearsal":{"rows":$nRows,"hot_frac":0.55,"skewed_wall_sec":$bestS,"unskewed_wall_sec":$bestU,"ratio":${bestS / bestU},"skew_split_engaged":$engaged,"protocol":"shuffle-path PIP join, 3 interleaved (skewed,unskewed) pairs after warmup, best wall per side, noop sink"}"""
+      } finally saved.foreach {
+        // restore in a finally: an exception mid-rehearsal must not leave
+        // the 16MB/2.0 skew thresholds on the shared session
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     } catch { case e: Exception =>
       s""","skew_rehearsal":{"error":"${e.getClass.getName}"}"""
     }
@@ -253,7 +254,7 @@ object Bench {
     val sampleJson = samples.map { case (w, cPre, cPost, l) =>
       s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_pre_sec":$cPre,"cal_post_sec":$cPost,"loadavg":$l}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"rows_per_sec * mean(cal_pre,cal_post)/min over samples: linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop bracketing each sample; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"median over samples of rows_per_sec * mean(cal_pre,cal_post)/min(cal): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop bracketing each sample; median avoids selecting the most-inflated calibration ratio; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
     spark.stop()
   }
 }

@@ -26,6 +26,51 @@ object SparkEntry {
     */
   private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The MinHash fixture corpus + planted near-dup copies, id-sorted.
+    * doc_id < 500 is the FULL corpus at the oracle scale (sf0.01); at
+    * larger SFs it bounds the driver-side feed — the streaming queries
+    * prove the surface's semantics, not its throughput (StreamingSpec
+    * covers state-size/eviction bounds).
+    */
+  private def streamCorpus(s: SparkSession, dir: String): Array[(Long, String)] = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    (base ++ base.map { case (id, t) =>
+      (id + 100000L, t + " graftdupmarker")
+    }).sortBy(_._1)
+  }
+
+  /** Drive the stateful streaming near-dup screen over deterministic
+    * MemoryStream micro-batches and return the distinct'd pair sink
+    * (the at-least-once emission made idempotent by pair identity).
+    */
+  private def runStreamNearDups(s: SparkSession,
+      batches: Seq[Seq[(java.sql.Timestamp, Long, String)]]): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val hits = graft.streaming.StreamingCells.streamingNearDups(
+      mem.toDF().toDF("ts", "doc_id", "text"))
+    val qname = s"q_stream_${streamRunCounter.incrementAndGet()}"
+    // Fixture-sized feeds: 32 shuffle partitions would be ~all
+    // empty-task dispatch overhead per stateful stage. Partition count
+    // affects parallelism only (per-bucket processing is
+    // order-canonicalized), so pin it low; restore only AFTER stop()
+    // (restoring right after start() races micro-batch planning).
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = hits.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+      finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
+  }
+
   /** Fixed, fixture-keyed path where q_tile_covering emits its covering
     * cells as (face, leaf-ij box) rows, so the static oracle SQL can read
     * them back and re-derive the audit booleans in pure SQL.
@@ -198,7 +243,7 @@ object SparkEntry {
       val second = go(Int.MaxValue)
       require(second.count(_.skipped) == 3 && second.count(!_.skipped) == 3,
         s"resumed run: $second")
-      s.read.parquet((0 until 6).map(i => s"$outDir/chunk_$i"): _*)
+      graft.pipeline.CheckpointedPipeline.readOutput(s, outDir)
         .select(col("url"), col("poly_id"))
     }),
 
@@ -342,21 +387,18 @@ object SparkEntry {
           (f, iLo, iLo + span - 1, jLo, jLo + span - 1)
         }
       })
-      // Write-once: fixture + covering are deterministic, so the emitted
-      // boxes are a pure function of the fixture size. A stale file from
-      // a changed covering cannot pass silently — the oracle derives its
-      // audit from these boxes while Spark recomputes fresh coverings,
-      // so any drift hash-mismatches. repartition(1) (not coalesce) keeps
-      // the per-tile covering computation parallel upstream of the
-      // single-file write.
-      if (!new java.io.File(tileCoveringCellsPath(dir)).exists()) {
-        tiles.withColumn("box", explode(boxUdf(col("tx"), col("ty"))))
-          .select(col("tx"), col("ty"), col("box._1").as("f"),
-            col("box._2").as("i_lo"), col("box._3").as("i_hi"),
-            col("box._4").as("j_lo"), col("box._5").as("j_hi"))
-          .repartition(1).write.mode("overwrite")
-          .parquet(tileCoveringCellsPath(dir))
-      }
+      // ALWAYS re-emit: a write-once guard would let the oracle audit a
+      // stale box file — a regression in tileCovering/tileRect that
+      // keeps per-tile counts unchanged would then self-consistently
+      // pass (fresh Spark booleans vs old-but-valid boxes).
+      // repartition(1) (not coalesce) keeps the per-tile covering
+      // computation parallel upstream of the single-file write.
+      tiles.withColumn("box", explode(boxUdf(col("tx"), col("ty"))))
+        .select(col("tx"), col("ty"), col("box._1").as("f"),
+          col("box._2").as("i_lo"), col("box._3").as("i_hi"),
+          col("box._4").as("j_lo"), col("box._5").as("j_hi"))
+        .repartition(1).write.mode("overwrite")
+        .parquet(tileCoveringCellsPath(dir))
       tiles
         .withColumn("audit", auditUdf(col("tx"), col("ty")))
         .select(col("tx"), col("ty"), col("n_pages"),
@@ -518,43 +560,10 @@ object SparkEntry {
     // 5-minute watermark never evicts state mid-fixture and banding
     // recall 1.0 carries over from the batch proof.
     "q_stream_neardup" -> ((s, dir) => {
-      import s.implicits._
-      // doc_id < 500 is the FULL corpus at the oracle scale (sf0.01);
-      // at larger SFs it bounds the driver-side MemoryStream feed — this
-      // query proves the streaming surface's semantics, not its
-      // throughput (StreamingSpec covers state-size/eviction bounds).
-      val base = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-      val all = (base ++ base.map { case (id, t) =>
-        (id + 100000L, t + " graftdupmarker")
-      }).sortBy(_._1)
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, String)]
-      val hits = graft.streaming.StreamingCells.streamingNearDups(
-        mem.toDF().toDF("ts", "doc_id", "text"))
-      val qname = s"q_stream_neardup_${streamRunCounter.incrementAndGet()}"
-      // 1000 docs across 3 micro-batches: 32 shuffle partitions would be
-      // ~all empty-task dispatch overhead per stateful stage. Partition
-      // count affects parallelism only (per-bucket processing is
-      // order-canonicalized), so pin it low for the fixture-sized feed.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val query = hits.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          all.grouped((all.length + 2) / 3).foreach { b =>
-            mem.addData(b.toSeq.map { case (id, t) =>
-              (new java.sql.Timestamp(1767225600000L + id), id, t)
-            })
-            query.processAllAvailable()
-          }
-        } finally query.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
+      val all = streamCorpus(s, dir)
+      runStreamNearDups(s, all.grouped((all.length + 2) / 3).map(_.map {
+        case (id, t) => (new java.sql.Timestamp(1767225600000L + id), id, t)
+      }.toSeq).toSeq)
     }),
 
     // Watermark EVICTION under the hard gate: epoch A (base docs at T0)
@@ -568,41 +577,22 @@ object SparkEntry {
     // oracle is the exact all-pairs set restricted to within-epoch
     // pairs, so a single surviving cross pair hash-mismatches.
     "q_stream_evict" -> ((s, dir) => {
-      import s.implicits._
-      val base = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val base = streamCorpus(s, dir).filter(_._1 < 100000L)
       val t0 = 1767225600000L
       val min = 60000L
-      val epochA = base.sortBy(_._1).map { case (id, t) =>
+      val epochA = base.map { case (id, t) =>
         (new java.sql.Timestamp(t0 + id), id, t) }
-      val epochB = base.sortBy(_._1).map { case (id, t) =>
+      val epochB = base.map { case (id, t) =>
         (new java.sql.Timestamp(t0 + 70 * min + id), id + 100000L, t + " graftdupmarker") }
       val sentinels = Seq(
         (new java.sql.Timestamp(t0 + 65 * min), 900001L,
           "graft watermark sentinel alpha advancing event time"),
         (new java.sql.Timestamp(t0 + 66 * min), 900002L,
           "unrelated beacon row with disjoint vocabulary entirely"))
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, String)]
-      val hits = graft.streaming.StreamingCells.streamingNearDups(
-        mem.toDF().toDF("ts", "doc_id", "text"))
-      val qname = s"q_stream_evict_${streamRunCounter.incrementAndGet()}"
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val query = hits.writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try {
-          // 4 deterministic micro-batches: A, sentinel, sentinel
-          // (timeouts fire here: watermark 60min > A's maxTs+30min), B.
-          Seq(epochA.toSeq, Seq(sentinels.head), Seq(sentinels(1)), epochB.toSeq)
-            .foreach { b => mem.addData(b); query.processAllAvailable() }
-        } finally query.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
+      // 4 deterministic micro-batches: A, sentinel, sentinel (timeouts
+      // fire here: watermark 60min > A's maxTs+30min retention), B.
+      runStreamNearDups(s,
+        Seq(epochA.toSeq, Seq(sentinels.head), Seq(sentinels(1)), epochB.toSeq))
     }),
 
     // SimHash near-dup pairs at Hamming distance <= 3 (rows-only).
@@ -1302,14 +1292,16 @@ object SparkEntry {
            |) WHERE n >= 5""".stripMargin,
 
       // Covering audit per occupied tile. The tile set and n_pages are
-      // derived from the data (as q_tile_z12's oracle); covers_samples
-      // and within_max are RE-DERIVED in SQL from the covering cells the
-      // Spark side emitted as (face, leaf-ij box) rows: each of the 5
-      // interior sample points is projected to its level-30 (face,si,sj)
-      // with the same pure quadratic-ST SQL q_snap_e2 proved against the
-      // Hilbert path, then box-tested against the emitted covering.
-      // Only `canonical` remains Spark-attested (a heap-order invariant
-      // with no practical SQL form; see RegionCovererSpec).
+      // derived from the data (as q_tile_z12's oracle); covers_samples,
+      // canonical, and within_max are ALL RE-DERIVED in SQL from the
+      // covering cells the Spark side emitted as (face, leaf-ij box)
+      // rows: each of the 5 interior sample points is projected to its
+      // level-30 (face,si,sj) with the same pure quadratic-ST SQL
+      // q_snap_e2 proved against the Hilbert path, then box-tested
+      // against the emitted covering; canonicality = pairwise box
+      // disjointness + no complete sibling quartet + the >maxCells
+      // shared-ancestor rule (the full isCanonical semantics at
+      // minLevel=0/levelMod=1).
       "q_tile_covering" ->
         s"""$pagesCte,
            | tiles AS (

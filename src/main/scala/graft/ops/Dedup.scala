@@ -289,10 +289,14 @@ object Dedup {
     // rarest-first canonical order; any consistent total order preserves
     // exactness, df-ascending maximizes hot-gram pruning
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    // epsilon before ceil: n*t can round just ABOVE an exact integer in
+    // IEEE doubles (e.g. 100*0.07 = 7.000000000000001), which would
+    // shrink the prefix by one and break the exactness contract for
+    // thresholds whose product lands on an integer
     val prefix = ex.join(freq, "gram")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
-        (col("n_grams") - ceil(col("n_grams") * lit(threshold)) + 1).cast("int"))
+        (col("n_grams") - ceil(col("n_grams") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
       .select("doc_id", "gram")
     prefix.as("a")
       .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
