@@ -194,6 +194,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === (0 until 10).map(i => (i.toLong, 10000L + i, 1.0)).toSet)
   }
 
+  test("prefix length survives FP-boundary thresholds (ceil of n*t just above an integer)") {
+    // 100*0.07 = 7.000000000000001 in IEEE doubles: a naive
+    // ceil(n_grams*t) yields 8 and shrinks the prefix by one, dropping a
+    // pair at Jaccard exactly 0.07 whose shared grams are the most
+    // frequent in the big doc's order. The epsilon before ceil keeps it.
+    import spark.implicits._
+    val shared = (0 until 7).map(k => s"s$k")
+    val docA = (1L, shared, 7)
+    val docB = (2L, shared ++ (0 until 93).map(k => s"b$k"), 100)
+    // fillers inflate the shared grams' document frequency so they sort
+    // LAST in rarest-first order — the exact placement the bug drops
+    val fillers = (0 until 50).map(i => (100L + i, shared, 7))
+    val withSize = (Seq(docA, docB) ++ fillers)
+      .toDF("doc_id", "grams", "n_grams")
+    val cands = Dedup.ngramJaccardCandidates(withSize, 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Jaccard(A,B) = 7/100 = 0.07 >= t: the candidate set must keep it
+    assert(cands.contains((1L, 2L)),
+      s"FP-boundary pair dropped by the prefix filter; candidates: $cands")
+  }
+
   test("prefix-filtered jaccard pairs equal brute force on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(120)
