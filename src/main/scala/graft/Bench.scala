@@ -177,6 +177,8 @@ object Bench {
     // PIP join on a fixture with 55% of rows in ONE level-14 cell vs the
     // unskewed fixture, AQE skew thresholds scaled to the fixture (at
     // 100 TB the hot partition crosses the 256 MB default naturally).
+    var skewRatio = -1.0
+    var skewEngaged = false
     val skewJson = try {
       val skewPath = {
         val p = s"/root/repo/work/pages_skew_n$nRows.parquet"
@@ -229,6 +231,8 @@ object Bench {
       }
       val bestS = pairs.map(_._1).min
       val bestU = pairs.map(_._2).min
+      skewRatio = bestS / bestU
+      skewEngaged = engaged
       s""","skew_rehearsal":{"rows":$nRows,"hot_frac":0.55,"skewed_wall_sec":$bestS,"unskewed_wall_sec":$bestU,"ratio":${bestS / bestU},"skew_split_engaged":$engaged,"protocol":"shuffle-path PIP join, 3 interleaved (skewed,unskewed) pairs after warmup, best wall per side, noop sink"}"""
       } finally saved.foreach {
         // restore in a finally: an exception mid-rehearsal must not leave
@@ -251,10 +255,29 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    // Evidence queries run crash/resume, streaming micro-batches, physical
+    // write layouts or oracle-aux re-emission — machinery whose cost is the
+    // price of keeping those behaviors under the hard correctness gate, not
+    // engine time. Tagging them lets the engine-subset sweep be compared
+    // across rounds mechanically (VERDICT r4 "Next" #2).
+    val evidenceQueries = Set("q_stream_neardup", "q_stream_evict",
+      "q_checkpoint", "q_checkpoint_clustered", "q_clustered", "q_tile_covering")
+    val totalEngine = results.filter(r => r._3 && !evidenceQueries(r._1)).map(_._2).sum
+    val evidenceJson = evidenceQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sampleJson = samples.map { case (w, cPre, cPost, l) =>
       s"""{"wall_sec":$w,"rows_per_sec":${nRows / w},"cal_pre_sec":$cPre,"cal_post_sec":$cPost,"loadavg":$l}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"median over samples of rows_per_sec * mean(cal_pre,cal_post)/min(cal): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop bracketing each sample; median avoids selecting the most-inflated calibration ratio; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}""")
+    val fullJson = s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"adjustment_model":"median over samples of rows_per_sec * mean(cal_pre,cal_post)/min(cal): linear contention estimate from a fixed ${nThreads}-thread CPU-bound calibration loop bracketing each sample; median avoids selecting the most-inflated calibration ratio; raw samples are authoritative","headline_samples":$sampleJson,"headline_protocol":"6 iterations interleaved across the query sweep (cache cleared before each), not one contiguous window","total_query_sec":$total,"total_engine_sec":$totalEngine,"evidence_queries":$evidenceJson,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"queries":$qs,"query_loadavg":$qload,"errors":$errs,"sf":"$sfDir"$skewJson}"""
+    // The full artifact line outgrew the driver's tail-capture window in
+    // r4 (parsed=null for the 4th round: the window starts mid-line and
+    // the headline fields at the front are cut off). Persist the full
+    // artifact to a file, print it, then print a COMPACT headline line
+    // LAST so the tail always contains one complete parseable JSON line.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/work/bench_full.json"), fullJson + "\n")
+    catch { case _: Exception => }
+    println(fullJson)
+    println(s"""{"metric":"cells encoded + PIP-joined rows/sec","value":$rpsBest,"unit":"rows/sec","value_load_adjusted":$rpsAdjBest,"total_query_sec":$total,"total_engine_sec":$totalEngine,"headline_rows":$nRows,"cpus":$cpus,"loadavg":${loadavg1m()},"skew_ratio":$skewRatio,"skew_split_engaged":$skewEngaged,"errors":$errs,"sf":"$sfDir","full_artifact":"work/bench_full.json"}""")
     spark.stop()
   }
 }

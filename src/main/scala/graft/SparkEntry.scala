@@ -68,7 +68,30 @@ object SparkEntry {
       try batches.foreach { b => mem.addData(b); query.processAllAvailable() }
       finally query.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    s.table(qname).select(col("a_id"), col("b_id"), col("jaccard")).distinct()
+    // Collect the (small, distinct'd) pair set eagerly and DROP the memory
+    // sink's temp view: leaving one uniquely-named sink per invocation
+    // leaked every emitted row into driver memory for the session lifetime.
+    val out = s.table(qname).select(col("a_id"), col("b_id"), col("jaccard"))
+      .distinct()
+    val rows = out.collect()
+    s.catalog.dropTempView(qname)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Fixed work dir for a query's scratch output, wiped on every call:
+    * bounded disk across repeated verify/bench invocations (a fresh temp
+    * dir per call grew without bound), and a clean slate for queries whose
+    * semantics need one (checkpoint resume must not see a stale manifest).
+    */
+  private def freshWorkDir(name: String): String = {
+    val p = java.nio.file.Paths.get(s"/root/repo/work/$name")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
   }
 
   /** Fixed, fixture-keyed path where q_tile_covering emits its covering
@@ -231,8 +254,7 @@ object SparkEntry {
       import graft.functions.S2
       val input = pages(s, dir)
         .withColumn("cell", S2.cellId(col("lat"), col("lng")))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_ckpt_").toString
+      val outDir = freshWorkDir("q_checkpoint_out")
       def go(failAfter: Int) = graft.pipeline.CheckpointedPipeline.run(
         s, input, "cell",
         chunk => SpatialJoin.pipJoin(s, chunk, cityPolygons)
@@ -264,8 +286,9 @@ object SparkEntry {
       val input = pages(s, dir)
         .withColumn("cell", S2.cellId(col("lat"), col("lng")))
         .select(col("url"), col("cell"))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_clust_").toString
+      // fixed path, not a temp dir: writeClustered overwrites, so repeated
+      // verify/bench invocations reuse the slot instead of leaking dirs
+      val outDir = s"/root/repo/work/q_clustered_out"
       CellClusteredWrite.writeClustered(input, "cell", outDir, numFiles = 16)
       val back = s.read.parquet(outDir)
       val sel = back.filter(CellClusteredWrite.cellRangePredicate(
@@ -1481,8 +1504,11 @@ object SparkEntry {
            |WHERE rank <= 3""".stripMargin,
 
       // Lloyd-refined IVF, fully re-run in SQL: two k-means iterations
-      // (argmax assignment with first-wins ties, per-dim means rounded
-      // to float like the Scala side's .toFloat), then the same
+      // (argmax assignment with first-wins ties, per-dim means computed
+      // as sum/count then rounded to float — the exact arithmetic shape
+      // of the Scala side's (sum/n).toFloat, so the only residual noise
+      // is double-summation order, pinned harmless by KmeansMarginSpec's
+      // tie-margin assertions), then the same
       // assignment / nProbe=4 probing / exact re-rank as q_ann_ivf.
       // Ranking by dot/(|e||c|) vs the Scala loop's dot/sqrt(na*nb) is
       // the same quantity; margins dwarf summation-order noise.
@@ -1498,7 +1524,8 @@ object SparkEntry {
            | a0 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
            |  FROM s0) WHERE rn = 1),
-           | m0 AS (SELECT a.c, d.dim, CAST(CAST(avg(e.emb[d.dim+1]) AS REAL) AS DOUBLE) AS val
+           | m0 AS (SELECT a.c, d.dim,
+           |   CAST(CAST(sum(e.emb[d.dim+1])/count(*) AS REAL) AS DOUBLE) AS val
            |  FROM a0 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY a.c, d.dim),
            | c1 AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val
            |  FROM c0 p LEFT JOIN m0 m ON m.c = p.c AND m.dim = p.dim),
@@ -1509,7 +1536,8 @@ object SparkEntry {
            | a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
            |  FROM s1) WHERE rn = 1),
-           | m1 AS (SELECT a.c, d.dim, CAST(CAST(avg(e.emb[d.dim+1]) AS REAL) AS DOUBLE) AS val
+           | m1 AS (SELECT a.c, d.dim,
+           |   CAST(CAST(sum(e.emb[d.dim+1])/count(*) AS REAL) AS DOUBLE) AS val
            |  FROM a1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY a.c, d.dim),
            | c2 AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val
            |  FROM c1 p LEFT JOIN m1 m ON m.c = p.c AND m.dim = p.dim),

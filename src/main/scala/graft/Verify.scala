@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete q_tile_covering's oracle-aux box file up front: if the query
+    // crashes before re-emitting it, its oracle SQL must FAIL on a missing
+    // file instead of silently auditing a previous run's boxes.
+    locally {
+      val aux = new java.io.File(SparkEntry.tileCoveringCellsPath(sfDir))
+      if (aux.exists()) {
+        Option(aux.listFiles()).foreach(_.foreach(_.delete()))
+        aux.delete()
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
