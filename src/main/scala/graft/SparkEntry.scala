@@ -269,6 +269,60 @@ object SparkEntry {
         .select(col("url"), col("poly_id"))
     }),
 
+    // CHECKPOINT over the CLUSTERED layout — the production wiring of
+    // q_checkpoint + q_clustered (VERDICT r4 "Next" #3): pages are first
+    // written through CellClusteredWrite (cell stored, files range-
+    // partitioned + sorted on the persisted unsigned cell_sort column),
+    // then the same crash/resume chunked PIP pipeline runs over that
+    // table with each chunk filter a plain BETWEEN on cell_sort — an
+    // attribute predicate parquet min/max stats can act on. The pruning
+    // is asserted PHYSICALLY: the crash phase runs with parquet stats
+    // pruning disabled (the re-scan-everything baseline q_checkpoint
+    // discloses), the resume phase with it enabled, and the records
+    // emitted by the scans (inputMetrics.recordsRead — BELOW Spark's
+    // residual filter, ABOVE the reader's row-group pruning) must drop
+    // by >2x between the phases (each phase is 3 chunks x 2 scans; the
+    // unpruned phase scans the whole table every time, the pruned phase
+    // only each chunk's surviving row groups). Output = the union of
+    // all 6 chunk outputs, gated by the same convex-SQL oracle as
+    // q_pip_city.
+    "q_checkpoint_clustered" -> ((s, dir) => {
+      import graft.functions.S2
+      import graft.pipeline.{CellClusteredWrite, CheckpointedPipeline}
+      val input = pages(s, dir)
+        .withColumn("cell", S2.cellId(col("lat"), col("lng")))
+        .select(col("url"), col("lat"), col("lng"), col("cell"))
+      val tablePath = "/root/repo/work/q_ckpt_clustered_tbl"
+      CellClusteredWrite.writeClustered(input, "cell", tablePath, numFiles = 12)
+      val back = s.read.parquet(tablePath)
+      val outDir = freshWorkDir("q_checkpoint_clustered_out")
+      def go(failAfter: Int, statsPruning: Boolean)
+          : (Seq[CheckpointedPipeline.ChunkResult], Long) = {
+        val saved = s.conf.get("spark.sql.parquet.filterPushdown")
+        s.conf.set("spark.sql.parquet.filterPushdown", statsPruning.toString)
+        try {
+          var res: Seq[CheckpointedPipeline.ChunkResult] = Seq.empty
+          val bytes = CheckpointedPipeline.scanRecordsDuring(s) {
+            res = CheckpointedPipeline.run(s, back, "cell_sort",
+              chunk => SpatialJoin.pipJoin(s, chunk, cityPolygons)
+                .select(col("url"), col("poly_id")),
+              outDir, nChunks = 6, failAfterChunks = failAfter,
+              cellColUnsigned = true)
+          }
+          (res, bytes)
+        } finally s.conf.set("spark.sql.parquet.filterPushdown", saved)
+      }
+      val (first, recsUnpruned) = go(3, statsPruning = false)
+      require(first.count(!_.skipped) == 3, s"crashed run: $first")
+      val (second, recsPruned) = go(Int.MaxValue, statsPruning = true)
+      require(second.count(_.skipped) == 3 && second.count(!_.skipped) == 3,
+        s"resumed run: $second")
+      require(recsPruned * 2 < recsUnpruned,
+        s"chunk BETWEEN did not prune: pruned=$recsPruned unpruned=$recsUnpruned")
+      CheckpointedPipeline.readOutput(s, outDir)
+        .select(col("url"), col("poly_id"))
+    }),
+
     // HILBERT-CLUSTERED WRITE under the hard gate: pages are written
     // range-partitioned + sorted in unsigned cell order (the plain-
     // parquet analogue of Iceberg write.order-by), then read back
@@ -1121,6 +1175,12 @@ object SparkEntry {
       // Chunked/resumed execution must reproduce the identical join:
       // same oracle as q_pip_city.
       "q_checkpoint" -> pipCitySql,
+
+      // The clustered-layout chunked run is the same join again — the
+      // crash/resume cycle over the pruned table must neither lose nor
+      // duplicate a row (pruning itself is asserted physically in the
+      // query via measured input bytes).
+      "q_checkpoint_clustered" -> pipCitySql,
 
       // The clustered-write round trip filtered to face 2, derived from
       // raw lat/lng by the projection SQL (no Hilbert curve needed:

@@ -51,10 +51,18 @@ object CheckpointedPipeline {
     * @param transform chunk DataFrame => output DataFrame
     * @param outDir    chunk outputs + manifest.jsonl live here
     * @return metrics for every chunk of this invocation
+    * @param cellColUnsigned when true, `cellCol` already stores the
+    *   sign-flipped (unsigned-order) cell value — e.g. the `cell_sort`
+    *   column a CellClusteredWrite layout persists — and each chunk
+    *   filter is a plain BETWEEN on that attribute, which pushes down to
+    *   parquet min/max stats and physically skips non-matching row
+    *   groups. With false (raw cell ids) the sign-flip happens in the
+    *   filter expression, which Spark cannot push past the scan.
     */
   def run(spark: SparkSession, input: DataFrame, cellCol: String,
           transform: DataFrame => DataFrame, outDir: String,
-          nChunks: Int = 8, failAfterChunks: Int = Int.MaxValue): Seq[ChunkResult] = {
+          nChunks: Int = 8, failAfterChunks: Int = Int.MaxValue,
+          cellColUnsigned: Boolean = false): Seq[ChunkResult] = {
     Files.createDirectories(Paths.get(outDir))
     val manifestPath = Paths.get(s"$outDir/manifest.jsonl")
     val done: Set[Int] =
@@ -74,12 +82,18 @@ object CheckpointedPipeline {
         results += ChunkResult(idx, loTok, hiTok, -1, -1, 0, skipped = true)
       } else if (processed < failAfterChunks) {
         val t0 = System.nanoTime()
-        // unsigned BETWEEN via sign-bit flip keeps the filter pushable
         val loS = lo ^ Long.MinValue
         val hiS = hi ^ Long.MinValue
-        val chunk = input.filter(
-          (col(cellCol).bitwiseXOR(lit(Long.MinValue)) >= loS) &&
-            (col(cellCol).bitwiseXOR(lit(Long.MinValue)) <= hiS))
+        val chunk =
+          if (cellColUnsigned)
+            // plain attribute BETWEEN: pushes to parquet min/max stats
+            input.filter(col(cellCol) >= loS && col(cellCol) <= hiS)
+          else
+            // raw cell ids: unsigned BETWEEN via a sign-bit-flip expression
+            // (correct everywhere, but opaque to parquet stats pruning)
+            input.filter(
+              (col(cellCol).bitwiseXOR(lit(Long.MinValue)) >= loS) &&
+                (col(cellCol).bitwiseXOR(lit(Long.MinValue)) <= hiS))
         val rowsIn = chunk.count()
         val out = transform(chunk)
         val path = s"$outDir/chunk_$idx"
@@ -96,6 +110,33 @@ object CheckpointedPipeline {
       }
     }
     results.toSeq
+  }
+
+  /** Total input records emitted by scans while `job` runs — the physical
+    * measurement behind the data-skipping claim. The vectorized parquet
+    * reader applies row-group stats pruning BELOW this metric and Spark's
+    * residual Filter ABOVE it, so a chunk filter that prunes reports only
+    * the surviving row groups' rows while one that does not reports the
+    * whole table per scan. (bytesRead is useless here: on the local
+    * filesystem it returns a constant per task regardless of what the
+    * reader actually touched.) Task metrics arrive on the listener bus
+    * asynchronously, so the queue is drained before the sum is read.
+    */
+  def scanRecordsDuring(spark: SparkSession)(job: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) acc.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      job
+      org.apache.spark.GraftSparkBridge.waitListenerQueueEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
   }
 
   /** Read back all completed chunk outputs as one DataFrame. */
