@@ -197,6 +197,24 @@ object SparkEntry {
     near ++ far
   }
 
+  /** Dimension-scale PIP fixture: 10,000 deterministic convex 16-gons
+    * (5-50 km radius) scattered within +-2 degrees of the 8 city centers —
+    * far past the broadcast budget, so the shuffle path is the only plan.
+    * Every 250th polygon is the oracle sample (40 polygons whose edge
+    * normals are feasible to bake into convex SQL).
+    */
+  lazy val tenKPolys: Seq[(Long, Loop)] = {
+    val rng = new scala.util.Random(777)
+    (0 until 10000).map { i =>
+      val (cLat, cLng) = PagesSource.cities(i % 8)
+      val lat = cLat + (rng.nextDouble() * 4 - 2)
+      val lng = cLng + (rng.nextDouble() * 4 - 2)
+      val radius = 5000.0 + rng.nextDouble() * 45000.0
+      (i.toLong, Loop.regularLoop(LatLng.toPointDegrees(lat, lng),
+        Earth.angleFromMeters(radius), 16))
+    }
+  }
+
   /** Large-polygon PIP fixture: a 4096-vertex regular loop (300 km around
     * New York) — forces the indexed refine path (>32 vertices).
     */
@@ -803,6 +821,31 @@ object SparkEntry {
         .select(col("url"), col("poly_id"))
     }),
 
+    // DIMENSION SCALE under the hard gate (VERDICT r4 "Next" #4): the
+    // shuffle-path PIP join against 10,000 polygons — the scale the
+    // non-broadcast plan exists for (estimated payload >> the 10 MB
+    // broadcast budget; DimScaleSpec pins the auto-chooser cutover and
+    // shuffle==broadcast equality sbt-side). The FULL 10k-dimension join
+    // is materialized to parquet first — a deliberate optimizer barrier:
+    // filtering to the oracle sample before a barrier would let Catalyst
+    // push the sample predicate into the dimension build and quietly
+    // shrink the join back to 40 polygons. The gate then hash-checks the
+    // 40 sampled polygons (every 250th) against baked convex SQL, the
+    // same technique as q_pip_city.
+    "q_pip_10k" -> ((s, dir) => {
+      val polys = tenKPolys
+      // coverings computed executor-side: 10k serial RegionCoverer runs
+      // would dominate the driver (the scale-correct shape regardless)
+      val coverings = SpatialJoin.polygonCoveringsDistributed(s, polys, maxCells = 8)
+      val joined = graft.ops.ShuffleSpatialJoin.pipJoinLarge(
+        s, pages(s, dir), polys, maxDimRows = 500000L,
+        precomputed = Some(coverings))
+        .select(col("url"), col("poly_id"))
+      val scratch = "/root/repo/work/q_pip_10k_out"
+      joined.write.mode("overwrite").parquet(scratch)
+      s.read.parquet(scratch).filter(pmod(col("poly_id"), lit(250)) === 0)
+    }),
+
     // ANN scale path 2: IVF inverted lists (coarse quantizer + nProbe
     // probing; rows-only check, recall asserted in DedupSpec).
     "q_ann_ivf" -> ((s, dir) => {
@@ -1138,6 +1181,16 @@ object SparkEntry {
       "q_dtw" -> dtwSql,
       "q_pip_shuffle" -> {
         val branches = polys.map { case (id, loop) =>
+          s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
+        }
+        s"$pagesCte ${branches.mkString(" UNION ALL ")}"
+      },
+
+      // The 40 sampled polygons of the 10k-dimension shuffle join, each a
+      // baked convex edge-normal test (the Spark side executed all 10k;
+      // the sample is what is feasible to restate in SQL).
+      "q_pip_10k" -> {
+        val branches = tenKPolys.filter(_._1 % 250 == 0).map { case (id, loop) =>
           s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
         }
         s"$pagesCte ${branches.mkString(" UNION ALL ")}"

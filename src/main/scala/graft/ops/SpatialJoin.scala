@@ -125,6 +125,30 @@ object SpatialJoin {
     }
   }
 
+  /** Coverings computed ON THE EXECUTORS: at real dimension-table sizes
+    * (10^4+ polygons) the serial per-polygon RegionCoverer work dominates
+    * the driver. Geometry ships out via the wire codec; only the
+    * (id, covering, interiorCovering) triples come back (bounded:
+    * <= 3*maxCells cells per polygon). Per-polygon results are
+    * independent and deterministic, so the output is identical to the
+    * driver-side polygonCoverings at any parallelism; ids are re-sorted
+    * to keep downstream iteration order stable.
+    */
+  def polygonCoveringsDistributed(spark: SparkSession,
+                                  polygons: Seq[(Long, Loop)],
+                                  maxCells: Int = 32): Seq[(Long, CellUnion, CellUnion)] = {
+    val enc = polygons.map { case (id, l) => (id, Codec.encodeLoop(l)) }
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      math.min(256, enc.size / 64 + 1))
+    spark.sparkContext.parallelize(enc, slices)
+      .map { case (id, bytes) =>
+        val coverer = RegionCoverer(maxCells = maxCells)
+        val loop = Codec.decodeLoop(bytes)
+        (id, coverer.covering(loop), coverer.interiorCovering(loop))
+      }
+      .collect().toSeq.sortBy(_._1)
+  }
+
   /** Estimated broadcast payload of the covering-index path: covering +
     * interior cells (16 B of packed entry + key share each) plus the wire
     * size of every geometry (broadcast once per polygon for the refine).
