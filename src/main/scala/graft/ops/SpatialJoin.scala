@@ -262,50 +262,68 @@ object SpatialJoin {
               queries: Seq[(Long, Double, Double)], k: Int,
               latCol: String = "lat", lngCol: String = "lng",
               initialRadiusMeters: Double = 100000,
-              tieBreakCol: String = null): DataFrame = {
+              tieBreakCol: String = null, maxRings: Int = 3): DataFrame = {
     import spark.implicits._
     knnJoinDF(spark, points, queries.toDF("query_id", "q_lat", "q_lng"), k,
-      latCol, lngCol, initialRadiusMeters, tieBreakCol)
+      latCol, lngCol, initialRadiusMeters, tieBreakCol, maxRings)
   }
 
-  /** kNN join with a DataFrame query side, bounded to TWO passes over the
-    * points table (vs the r1 radius-doubling loop's up-to-8 full scans
-    * plus per-round driver collects):
-    *
-    *  1. Grid pass: pick the finest level whose min cell width covers the
-    *     initial radius; every point within r0 of a query then lies in
-    *     the query cell's 3x3 neighbor ring, so an equi-join on the ring
-    *     cells finds ALL candidates within r0. A per-query window count
-    *     (no driver round trip) marks queries with >= k candidates —
-    *     their global top-k is provably inside the r0 candidate set.
-    *  2. Brute pass: the (few) unsatisfied queries anti-join out and run
-    *     against the full points table as a broadcast — the guaranteed-
-    *     correct fallback for sparse regions, costing one more scan.
-    *
-    * Both consumers of the grid join sit behind the same exchange, so AQE
-    * reuses the shuffle instead of re-scanning. This mirrors the
-    * reference's brute-below-threshold vs best-first split
-    * (edge_query.go:475-491).
-    */
   def knnJoinDF(spark: SparkSession, points: DataFrame, queries: DataFrame,
                 k: Int, latCol: String = "lat", lngCol: String = "lng",
                 initialRadiusMeters: Double = 100000,
-                tieBreakCol: String = null): DataFrame = {
+                tieBreakCol: String = null, maxRings: Int = 3): DataFrame =
+    knnJoinDFStats(spark, points, queries, k, latCol, lngCol,
+      initialRadiusMeters, tieBreakCol, maxRings)._1
+
+  /** kNN join with a DataFrame query side, escalating through expanding
+    * cell rings before paying a full scan (the iterative-deepening
+    * analogue of the reference's best-first distance queries,
+    * edge_query.go:527-569, with CellUnion.ExpandAtLevel's ring
+    * semantics, cellunion.go:475-495):
+    *
+    *  1. Ring pass r (r = 0..maxRings-1, radius r_r = r0 * 4^r): pick the
+    *     finest level whose min cell width covers r_r; every point within
+    *     r_r of a query then lies in the query cell's 3x3 neighbor ring,
+    *     so an equi-join on the ring cells finds ALL candidates within
+    *     r_r. Queries with >= k candidates are satisfied — their global
+    *     top-k is provably inside the ring candidate set. The rest
+    *     escalate to the next, 4x-wider ring, where only THEY rejoin the
+    *     points table.
+    *  2. Brute pass: queries still unsatisfied after maxRings rings run
+    *     against the full points table as a broadcast — the guaranteed-
+    *     correct fallback, now reserved for genuinely empty regions
+    *     instead of every sparse-region query.
+    *
+    * Each ring's candidate set persists to disk so the satisfied-count
+    * job and the final output read one scan's work; the escalation
+    * check per ring is a count on the (small, driver-provided) query
+    * table. This mirrors the reference's brute-below-threshold vs
+    * best-first split (edge_query.go:475-491).
+    */
+  def knnJoinDFStats(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                     k: Int, latCol: String = "lat", lngCol: String = "lng",
+                     initialRadiusMeters: Double = 100000,
+                     tieBreakCol: String = null,
+                     maxRings: Int = 3): (DataFrame, Seq[Long], Long) = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.S2
 
-    val angle = Earth.angleFromMeters(initialRadiusMeters)
-    val q = queries.select(col("query_id"), col("q_lat"), col("q_lng"))
-    var cached: DataFrame = null // candidate cache to release on return
+    def withDist(df: DataFrame): DataFrame = df.withColumn("dist_rad",
+      S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
 
-    val acc: DataFrame = if (angle > Metric.MinWidth.value(0)) {
-      // Radius exceeds the coverage guarantee of any cell ring: brute only.
-      points.crossJoin(broadcast(q))
-        .withColumn("dist_rad",
-          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
-    } else {
+    val q = queries.select(col("query_id"), col("q_lat"), col("q_lng"))
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val leftoverCounts = scala.collection.mutable.ArrayBuffer[Long]()
+
+    var angle = Earth.angleFromMeters(initialRadiusMeters)
+    var leftover = q
+    var nLeftover = -1L // lazily counted; -1 = not yet known non-zero
+    var ring = 0
+    while (ring < maxRings && nLeftover != 0L &&
+        angle <= Metric.MinWidth.value(0)) {
       val level = Metric.MinWidth.maxLevel(angle)
-      val qCells = q
+      val qCells = leftover
         .withColumn("q_cell", S2.parent(S2.cellId(col("q_lat"), col("q_lng")), lit(level)))
         .withColumn("cell", explode(array_union(
           S2.neighbors(col("q_cell"), lit(level)), array(col("q_cell")))))
@@ -313,56 +331,64 @@ object SpatialJoin {
       val pCells = points.withColumn("cell",
         S2.parent(S2.cellId(col(latCol), col(lngCol)), lit(level)))
 
-      // The candidate set (points within r0 of any query ring) is the
-      // join's working set — orders of magnitude smaller than the points
-      // table. Persisting it means both consumers (count + output) read
-      // the cache, so points parquet is scanned exactly once here.
+      // The ring candidate set (points within r_r of a leftover query) is
+      // the join's working set — orders of magnitude smaller than the
+      // points table. Persisting it means every consumer (satisfied
+      // count, escalation check, output) reads one scan's work.
       // DISK_ONLY: candidate blocks must never compete with execution
       // memory (storage-pool pressure starves concurrent sorts).
-      val candidates = pCells.join(qCells, "cell")
-        .withColumn("dist_rad",
-          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
+      val candidates = withDist(pCells.join(qCells, "cell"))
         .filter(col("dist_rad") <= lit(angle))
         .drop("cell")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      cached = candidates
+      caches += candidates
 
       val satisfiedIds = candidates.groupBy("query_id")
         .agg(count(lit(1)).as("n_cand"))
         .filter(col("n_cand") >= k)
         .select("query_id")
-      val satisfied = candidates.join(broadcast(satisfiedIds), "query_id")
-      val leftoverQ = q.join(satisfiedIds, Seq("query_id"), "left_anti")
-      val brute = points.crossJoin(broadcast(leftoverQ))
-        .withColumn("dist_rad",
-          S2.distance(col("q_lat"), col("q_lng"), col(latCol), col(lngCol)))
-      satisfied.unionByName(brute)
+      parts += candidates.join(broadcast(satisfiedIds), "query_id")
+      leftover = leftover.join(satisfiedIds, Seq("query_id"), "left_anti")
+      // escalation check: a count on the query table (small by contract)
+      nLeftover = leftover.count()
+      leftoverCounts += nLeftover
+      angle *= 4
+      ring += 1
     }
 
+    // Initial radius past any ring's coverage guarantee, or rings
+    // exhausted with queries still unsatisfied: guaranteed-correct brute.
+    val bruteQueries =
+      if (nLeftover >= 0L) nLeftover else leftover.count()
+    if (bruteQueries > 0L || parts.isEmpty)
+      parts += withDist(points.crossJoin(broadcast(leftover)))
+
+    val acc = parts.reduce(_ unionByName _)
     val order =
       if (tieBreakCol == null) Seq(col("dist_rad").asc)
       else Seq(col("dist_rad").asc, col(tieBreakCol).asc)
     val w = Window.partitionBy("query_id").orderBy(order: _*)
     val topK = acc.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
-    if (cached != null) SpatialJoin.retireKnnCache(cached)
-    topK
+    SpatialJoin.retireKnnCaches(caches.toSeq)
+    (topK, leftoverCounts.toSeq, bruteQueries)
   }
 
-  // One-slot deferred cleanup for knnJoinDF's DISK_ONLY candidate cache:
-  // the current call's cache must stay alive until its lazy result is
-  // consumed, so each call retires the PREVIOUS call's blocks instead.
-  // Storage is bounded at one candidate set per session regardless of how
-  // many kNN joins run (r2 leaked one block set per call).
-  private var lastKnnCache: DataFrame = null
-  private def retireKnnCache(current: DataFrame): Unit = synchronized {
+  // Deferred cleanup for knnJoinDF's DISK_ONLY ring caches: the current
+  // call's caches must stay alive until its lazy result is consumed, so
+  // each call retires the PREVIOUS call's blocks instead. Storage is
+  // bounded at one call's ring set per session regardless of how many
+  // kNN joins run (r2 leaked one block set per call).
+  private var lastKnnCaches: Seq[DataFrame] = Nil
+  private def retireKnnCaches(current: Seq[DataFrame]): Unit = synchronized {
     // CacheManager dedupes by logical plan: a plan-identical repeat call
     // SHARES the previous cache entry, and unpersisting the old handle
     // would evict the entry the new result is about to read.
-    if ((lastKnnCache ne null) &&
-        !lastKnnCache.queryExecution.analyzed.sameResult(
-          current.queryExecution.analyzed))
-      lastKnnCache.unpersist(false)
-    lastKnnCache = current
+    lastKnnCaches.foreach { old =>
+      if (!current.exists(c => old.queryExecution.analyzed.sameResult(
+          c.queryExecution.analyzed)))
+        old.unpersist(false)
+    }
+    lastKnnCaches = current
   }
 }
