@@ -101,6 +101,25 @@ object SparkEntry {
   def tileCoveringCellsPath(dir: String): String =
     s"/root/repo/work/tile_cov_cells_n${PagesSource.rowsForScale(dir)}.parquet"
 
+  /** The embedding near-dup fixture: the first 500 corpus vectors (as
+    * doubles) plus planted perturbed copies at vec_id + 100000 (even dims
+    * scaled by 1.02, odd by 0.98 — cosine ~0.9996 with the original).
+    * Shared by the exact cartesian (q_embed_neardup) and the LSH-bucketed
+    * scale path (q_embed_neardup_lsh), which are gated against the same
+    * oracle.
+    */
+  private def embedNearDupInput(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN CAST(x AS DOUBLE) * 1.02 ELSE CAST(x AS DOUBLE) * 0.98 END AS DOUBLE))")
+        .as("embedding"))
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .unionByName(planted)
+  }
+
   /** Geocoded pages for the given scale dir. */
   private def pages(spark: SparkSession, sfDir: String): DataFrame = {
     val path = PagesSource.pagesParquet(spark, sfDir)
@@ -705,17 +724,21 @@ object SparkEntry {
     // corpus + planted perturbed copies (vec_id + 100000; even indices
     // scaled by 1.02, odd by 0.98 -> cosine ~0.9996 with the original).
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") < 500)
-        .select(col("vec_id"), col("embedding"))
-      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
-        expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN CAST(x AS DOUBLE) * 1.02 ELSE CAST(x AS DOUBLE) * 0.98 END AS DOUBLE))")
-          .as("embedding"))
       graft.ops.Dedup.embeddingNearDupPairs(
-        emb.select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-          .unionByName(planted),
-        "vec_id", "embedding", threshold = 0.99)
+        embedNearDupInput(s, dir), "vec_id", "embedding", threshold = 0.99)
+        .select(col("a_id"), col("b_id"))
+    }),
+
+    // The BUCKETED scale path for the same near-dup set: hyperplane-LSH
+    // banding generates candidates inside signature buckets (ids-only
+    // shuffle, capped hot buckets), exact cosine verifies. Output is by
+    // construction a subset of q_embed_neardup's exact set; gating it
+    // against the SAME oracle proves banding recall 1.0 on this fixture
+    // (every planted pair shares at least one 4-bit band), so the one
+    // remaining cartesian anchor has a gated bucketed sibling.
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingNearDupPairsLsh(
+        embedNearDupInput(s, dir), "vec_id", "embedding", threshold = 0.99)
         .select(col("a_id"), col("b_id"))
     }),
 
@@ -1175,6 +1198,25 @@ object SparkEntry {
       }
       s"$pagesCte ${branches.mkString(" UNION ALL ")}"
     }
+    // Exact all-pairs cosine >= 0.99 — shared by the brute cartesian and
+    // the LSH-bucketed path: the LSH output is a subset by construction,
+    // so hash-equality against this set IS the banding-recall-1.0 proof.
+    val embedNearDupSql =
+      s"""WITH base AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+         |  FROM read_parquet('$oracleSf/embeddings.parquet')
+         |  WHERE vec_id < 500
+         |), e AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    [CASE WHEN (i - 1) % 2 = 0 THEN emb[i] * 1.02 ELSE emb[i] * 0.98 END
+         |     for i in range(1, len(emb) + 1)] FROM base
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM e a, e b
+         |WHERE a.vec_id < b.vec_id
+         |  AND list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin
     Map(
       "q_edge_knn" -> edgeKnnSql,
       "q_edge_far" -> edgeRankSql(negateQueries = true),
@@ -1355,21 +1397,11 @@ object SparkEntry {
            |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
            |    / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.6""".stripMargin,
 
-      "q_embed_neardup" ->
-        s"""WITH base AS (
-           |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
-           |  FROM read_parquet('$oracleSf/embeddings.parquet')
-           |), e AS (
-           |  SELECT vec_id, emb FROM base
-           |  UNION ALL
-           |  SELECT vec_id + 100000,
-           |    [CASE WHEN (i - 1) % 2 = 0 THEN emb[i] * 1.02 ELSE emb[i] * 0.98 END
-           |     for i in range(1, len(emb) + 1)] FROM base
-           |)
-           |SELECT a.vec_id AS a_id, b.vec_id AS b_id
-           |FROM e a, e b
-           |WHERE a.vec_id < b.vec_id
-           |  AND list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin,
+      "q_embed_neardup" -> embedNearDupSql,
+
+      // The LSH-bucketed pipeline must emit the identical pair set:
+      // subset-by-construction + hash-equality = recall 1.0 on fixture.
+      "q_embed_neardup_lsh" -> embedNearDupSql,
 
       "q_ann_top3" ->
         s"""WITH e AS (SELECT vec_id, embedding FROM read_parquet('$oracleSf/embeddings.parquet')),

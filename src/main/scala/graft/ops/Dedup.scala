@@ -331,4 +331,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  /** Embedding near-dup pairs via hyperplane-LSH banding — the bucketed
+    * scale path for embeddingNearDupPairs' exact cartesian: candidate
+    * pairs form only inside signature-band buckets (one narrow ids-only
+    * shuffle, hot buckets capped BEFORE pairing like minHashLsh), then
+    * the exact cosine filter keeps pairs >= threshold, so the output is
+    * always a subset of the exact all-pairs set and recall on a fixture
+    * is provable by direct comparison (q_embed_neardup_lsh gates recall
+    * 1.0 against the same DuckDB oracle as the cartesian).
+    */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double,
+                               nBits: Int = 16, bands: Int = 4,
+                               seed: Long = 42, dim: Int = 64,
+                               maxBucket: Int = 4096): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 64)
+    val bandBits = nBits / bands
+    val banded = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig",
+        graft.functions.TextHash.hyperplaneSig(col("vec"), nBits, dim, seed))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bucket", expr(
+        s"shiftleft(CAST(band AS BIGINT), 32) | " +
+          s"(shiftrightunsigned(sig, band * $bandBits) & ${(1L << bandBits) - 1})"))
+      .select("bucket", "id")
+    // ids-only bucket pairing with the hot-bucket cap applied before the
+    // quadratic stage; near-identical vectors share all bands, so the
+    // pair-level distinct collapses the duplicates.
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("bucket").orderBy("id")
+    val capped = banded.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= maxBucket)
+      .select("bucket", "id")
+    val candPairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    // exact verification: vectors join back only for candidates
+    val normed = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", sqrt(graft.functions.Vec.norm2(col("vec"))))
+    candPairs
+      .join(normed.select(col("id").as("a_id"), col("vec").as("a_vec"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(normed.select(col("id").as("b_id"), col("vec").as("b_vec"),
+        col("nrm").as("b_nrm")), "b_id")
+      .withColumn("cosine",
+        graft.functions.Vec.dot(col("a_vec"), col("b_vec"))
+          / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
 }
