@@ -385,9 +385,14 @@ object SpatialJoin {
     // SHARES the previous cache entry, and unpersisting the old handle
     // would evict the entry the new result is about to read.
     lastKnnCaches.foreach { old =>
-      if (!current.exists(c => old.queryExecution.analyzed.sameResult(
-          c.queryExecution.analyzed)))
-        old.unpersist(false)
+      // the previous caches may belong to a SparkContext that has since
+      // stopped (test suites recreate sessions); unpersisting a dead
+      // handle NPEs inside the block manager, and there is nothing to
+      // free there anyway
+      if (!old.sparkSession.sparkContext.isStopped &&
+          !current.exists(c => old.queryExecution.analyzed.sameResult(
+            c.queryExecution.analyzed)))
+        try old.unpersist(false) catch { case _: Exception => }
     }
     lastKnnCaches = current
   }
