@@ -217,18 +217,21 @@ object SparkEntry {
   }
 
   /** Dimension-scale PIP fixture: 10,000 deterministic convex 16-gons
-    * (5-50 km radius) scattered within +-2 degrees of the 8 city centers —
+    * (2-15 km radius) scattered within +-3 degrees of the 8 city centers —
     * far past the broadcast budget, so the shuffle path is the only plan.
-    * Every 250th polygon is the oracle sample (40 polygons whose edge
-    * normals are feasible to bake into convex SQL).
+    * Radii/spread are sized so the full join emits ~300k rows at sf0.1
+    * (enough to exercise every path, not so dense that the sweep is
+    * dominated by writing match rows). Every 250th polygon is the oracle
+    * sample (40 polygons whose edge normals are feasible to bake into
+    * convex SQL).
     */
   lazy val tenKPolys: Seq[(Long, Loop)] = {
     val rng = new scala.util.Random(777)
     (0 until 10000).map { i =>
       val (cLat, cLng) = PagesSource.cities(i % 8)
-      val lat = cLat + (rng.nextDouble() * 4 - 2)
-      val lng = cLng + (rng.nextDouble() * 4 - 2)
-      val radius = 5000.0 + rng.nextDouble() * 45000.0
+      val lat = cLat + (rng.nextDouble() * 6 - 3)
+      val lng = cLng + (rng.nextDouble() * 6 - 3)
+      val radius = 2000.0 + rng.nextDouble() * 13000.0
       (i.toLong, Loop.regularLoop(LatLng.toPointDegrees(lat, lng),
         Earth.angleFromMeters(radius), 16))
     }
