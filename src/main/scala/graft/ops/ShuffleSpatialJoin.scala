@@ -66,17 +66,27 @@ object ShuffleSpatialJoin {
     val coverings = precomputed.getOrElse(
       SpatialJoin.polygonCoverings(polygons, maxCells))
     // Only the NORMALIZED covering rides from the driver (<= 2*maxCells
-    // rows per polygon); the level-k fan-out — up to the maxDimRows
-    // budget — happens executor-side via s2_cells_at + explode. Shipping
-    // the denormalized table from the driver was a 9 MB task closure for
-    // 8 city polygons and a driver OOM at a real dimension-table scale.
-    val rows = coverings.flatMap { case (id, covering, interior) =>
-      val boundary = covering.difference(interior)
-      interior.ids.map(c => (c, id, true)) ++
-        boundary.ids.map(c => (c, id, false))
-    }
-    rows.toDF("cell", "poly_id", "covering_interior")
+    // cells per polygon, as two long arrays); everything that multiplies
+    // cells happens executor-side. That includes the boundary DIFFERENCE:
+    // covering \ interior fragments into dozens of finer cells per
+    // polygon, and materializing it driver-side made the shipped
+    // LocalRelation the dim build's dominant cost at 10k polygons (~28
+    // cells/polygon shipped vs <= 16 normalized) — and, like the level-k
+    // fan-out (s2_cells_at + explode, bounded by the maxDimRows budget),
+    // it is a per-polygon computation with no cross-polygon dependency,
+    // exactly what scales out.
+    val normalized = coverings.map { case (id, covering, interior) =>
+      (id, covering.ids, interior.ids)
+    }.toDF("poly_id", "cov", "inter")
       .repartition(spark.sparkContext.defaultParallelism)
+    val rows = normalized.as[(Long, Array[Long], Array[Long])]
+      .flatMap { case (id, cov, inter) =>
+        val interior = CellUnion.fromNormalized(inter)
+        val boundary = CellUnion.fromNormalized(cov).difference(interior)
+        interior.ids.iterator.map(c => (c, id, true)) ++
+          boundary.ids.iterator.map(c => (c, id, false))
+      }
+    rows.toDF("cell", "poly_id", "covering_interior")
       .withColumn("cell_lk", explode(S2.cellsAt(col("cell"), lit(level))))
       // A finer-than-k covering cell rolls UP to its level-k parent; the
       // parent is then not fully interior, so force the refine.
