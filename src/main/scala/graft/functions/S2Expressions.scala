@@ -337,30 +337,62 @@ case class TileYExpr(left: Expression, right: Expression)
   * the same substring).
   */
 object GeoParse {
-  private def field(s: UTF8String, idx: Int): Double = {
+  // Design notes, both measured (tools/GeoParseBench):
+  //  - Decode-then-String-ops is deliberate: an in-place UTF8String byte
+  //    scan (indexOf/substring) measured 5x SLOWER because
+  //    UTF8String.indexOf walks chars via numBytesForFirstByte while
+  //    String.indexOf is JIT-intrinsified; the one-copy decode of ~150 B
+  //    is cheap next to that.
+  //  - A per-thread single-entry memo keyed by REFERENCE identity:
+  //    Catalyst pushes PagesSource.withLatLng's NaN filter below the
+  //    lat/lng projection, substituting the parse into the filter
+  //    condition, so geo_lat/geo_lng evaluate 4-6x per row in the
+  //    headline stage. All of those evaluations consume the same
+  //    UTF8String local (one whole-stage-codegen row pipeline), and the
+  //    vectorized reader wraps a FRESH UTF8String per row, so `eq` on
+  //    the incoming object is a sound cache key: identical reference
+  //    implies identical bytes, and a new row always misses. One parse
+  //    per row instead of 4-6, and lat+lng share the single decode.
+  private final class Memo {
+    var ref: UTF8String = null
+    var lat: Double = Double.NaN
+    var lng: Double = Double.NaN
+  }
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+
+  private def parse(s: UTF8String, m: Memo): Unit = {
+    m.ref = s
+    m.lat = Double.NaN
+    m.lng = Double.NaN
     val str = s.toString
     val tag = str.indexOf("geo:")
-    if (tag < 0) return Double.NaN
+    if (tag < 0) return
     val start = tag + 4
     val comma = str.indexOf(',', start)
-    if (comma < 0) return Double.NaN
-    try {
-      if (idx == 0) {
-        java.lang.Double.parseDouble(str.substring(start, comma))
-      } else {
-        var end = comma + 1
-        while (end < str.length && str.charAt(end) != ' ') end += 1
-        java.lang.Double.parseDouble(str.substring(comma + 1, end))
-      }
-    } catch {
-      // Malformed tag (empty/garbage number) -> NaN, dropped by
-      // PagesSource.withLatLng's finite filter (same behavior as a
-      // regex-non-match producing null).
-      case _: NumberFormatException => Double.NaN
-    }
+    if (comma < 0) return
+    // Fields fail independently: a malformed number yields NaN for that
+    // field only (same behavior as a regex-non-match producing null),
+    // dropped by PagesSource.withLatLng's finite filter.
+    m.lat = try java.lang.Double.parseDouble(str.substring(start, comma))
+    catch { case _: NumberFormatException => Double.NaN }
+    var end = comma + 1
+    while (end < str.length && str.charAt(end) != ' ') end += 1
+    m.lng = try java.lang.Double.parseDouble(str.substring(comma + 1, end))
+    catch { case _: NumberFormatException => Double.NaN }
   }
-  def lat(s: UTF8String): Double = field(s, 0)
-  def lng(s: UTF8String): Double = field(s, 1)
+
+  def lat(s: UTF8String): Double = {
+    val m = memo.get()
+    if (m.ref ne s) parse(s, m)
+    m.lat
+  }
+  def lng(s: UTF8String): Double = {
+    val m = memo.get()
+    if (m.ref ne s) parse(s, m)
+    m.lng
+  }
 }
 
 /** geo_lat(text) -> latitude parsed from the geo: tag. */

@@ -114,10 +114,14 @@ object PagesSource {
   }
 
   /** Parse the geo tag back out of `text`: the engine-side geocode step.
-    * Native byte-scan expressions (graft.functions.GeoParse) — ~10x
+    * Native Catalyst expressions (graft.functions.GeoParse) — ~10x
     * cheaper than regexp and bit-identical output (both end in
     * Double.parseDouble on the same substring); the DuckDB oracle parses
-    * the same bytes with its own regexp.
+    * the same bytes with its own regexp. Catalyst pushes the NaN filter
+    * below this projection and substitutes the parse into it, so GeoParse
+    * memoizes the (lat,lng) pair per row (identity-keyed, per-thread) —
+    * one parse per row regardless of how many times the plan repeats the
+    * expression.
     */
   def withLatLng(pages: DataFrame): DataFrame =
     pages
