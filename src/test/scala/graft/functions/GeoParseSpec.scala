@@ -40,6 +40,47 @@ class GeoParseSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(lng1))
   }
 
+  test("fuzz: memoized parse matches an independent regex reference on 20k random strings") {
+    // Reference implementation with the same spec, written differently:
+    // first "geo:", lat = chars to the first ',' after it (any chars),
+    // lng = chars to the next ' ' or end; unparseable field -> NaN.
+    val re = java.util.regex.Pattern.compile("(?s)geo:([^,]*),([^ ]*)")
+    def refParse(str: String): (Double, Double) = {
+      val m = re.matcher(str)
+      if (!m.find()) (Double.NaN, Double.NaN)
+      else {
+        def num(g: String) =
+          try java.lang.Double.parseDouble(g)
+          catch { case _: NumberFormatException => Double.NaN }
+        (num(m.group(1)), num(m.group(2)))
+      }
+    }
+    val rnd = new scala.util.Random(20260818L)
+    val frags = Array("geo:", ",", " ", "-", ".", "e", "x", "12", "7.5", "geo", ":", "")
+    def randomString(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until rnd.nextInt(12)) sb.append(frags(rnd.nextInt(frags.length)))
+      sb.toString
+    }
+    var i = 0
+    while (i < 20000) {
+      val str =
+        if (i % 3 == 0) f"page $i geo:${rnd.nextDouble() * 180 - 90}%.6f,${rnd.nextDouble() * 360 - 180}%.6f tail"
+        else randomString()
+      val (wantLat, wantLng) = refParse(str)
+      val s = u(str)
+      // alternate the call order to stress the memo both ways
+      val (gotLat, gotLng) =
+        if (i % 2 == 0) { val a = GeoParse.lat(s); (a, GeoParse.lng(s)) }
+        else { val b = GeoParse.lng(s); (GeoParse.lat(s), b) }
+      assert(java.lang.Double.doubleToRawLongBits(gotLat) ===
+        java.lang.Double.doubleToRawLongBits(wantLat), s"lat('$str')")
+      assert(java.lang.Double.doubleToRawLongBits(gotLng) ===
+        java.lang.Double.doubleToRawLongBits(wantLng), s"lng('$str')")
+      i += 1
+    }
+  }
+
   test("malformed fields fail independently, and a bad row does not poison the next") {
     val badLat = u("geo:abc,4.5 ")
     assert(GeoParse.lat(badLat).isNaN && GeoParse.lng(badLat) === 4.5)
