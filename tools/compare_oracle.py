@@ -2,15 +2,37 @@
 """Local stand-in for the driver's correctness gate: run each oracle SQL
 from <outdir>/oracle_sql.json in DuckDB and compare against the Spark
 result parquet at <outdir>/<name>/ (rows, schema by sorted column names,
-and a hash of the sorted value matrix)."""
+and a hash of the sorted value matrix).
+
+The oracle SQL bakes the driver gate's sf0.01 fixture paths. To replay
+the gate against a Verify run at another scale, pass --sf=sf0.1 (or
+sf0.001): the baked paths are rewritten to that scale's fixtures.
+Expect the two streaming queries to mismatch under --sf rewrites —
+their Spark side feeds a fixed 500-doc stream by design while the
+rewritten oracle audits the whole corpus."""
 import sys, json, glob, hashlib
 import duckdb
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out_r3a"
-only = set(sys.argv[2:])  # optional subset of query names
+only = set()  # optional subset of query names
+sf_rw = None
+for a in sys.argv[2:]:
+    if a.startswith("--sf="):
+        sf_rw = a[len("--sf="):]
+    else:
+        only.add(a)
 
 with open(f"{outdir}/oracle_sql.json") as f:
     oracles = json.load(f)
+
+if sf_rw:
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}[sf_rw]
+    oracles = {q: s
+               .replace("/root/testdata/sf0.01/", f"/root/testdata/{sf_rw}/")
+               .replace("pages_n20000.parquet", f"pages_n{n}.parquet")
+               .replace("tile_cov_cells_n20000.parquet",
+                        f"tile_cov_cells_n{n}.parquet")
+               for q, s in oracles.items()}
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
