@@ -86,6 +86,19 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"expected an equi-join on gram:\n$p")
   }
 
+  test("bucketed near-dup and ANN paths never plan a cartesian") {
+    // The r5 gate queries that exist precisely because all-pairs does
+    // not scale: each must plan as an equi-join on its bucket key.
+    for (q <- Seq("q_minhash_lsh", "q_simhash", "q_embed_neardup_lsh",
+      "q_ann_lsh", "q_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must stay a bucketed equi-join, not a cross join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"expected an equi-join in $q:\n$p")
+    }
+  }
+
   test("headline pipeline stays inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q_pip_city")(spark, dir)
     val codegen = org.apache.spark.sql.execution.debug
