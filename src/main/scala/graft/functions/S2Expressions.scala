@@ -362,6 +362,50 @@ object GeoParse {
     override def initialValue(): Memo = new Memo
   }
 
+  private val pow10 = Array.tabulate(16)(k => math.pow(10, k)) // all exact
+
+  /** Parse str[from, to) as a double, bit-identical to
+    * Double.parseDouble on the same slice (NaN where it would throw).
+    *
+    * Fast path for plain fixed-point decimals `[+-]?digits[.digits]`
+    * with <= 15 total digits — the fixture's "%.6f" grammar: the digit
+    * string as an integer N < 10^15 < 2^53 is exactly representable, so
+    * is 10^k (k <= 15), and IEEE division of two exact values returns
+    * the correctly-rounded true rational N/10^k — the SAME value the
+    * general decimal parser correctly rounds. parseDouble costs ~10x
+    * the digit loop (FloatingDecimal + the substring allocation), so
+    * everything not matching this grammar (exponents, hex, >15 digits,
+    * Infinity/NaN, garbage) falls back to it verbatim.
+    */
+  private def parseField(str: String, from: Int, to: Int): Double = {
+    var i = from
+    var neg = false
+    if (i < to) {
+      val c0 = str.charAt(i)
+      if (c0 == '-' || c0 == '+') { neg = c0 == '-'; i += 1 }
+    }
+    var n = 0L
+    var digits = 0
+    var frac = -1
+    var plain = true
+    while (plain && i < to) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        n = n * 10 + (c - '0'); digits += 1
+        if (frac >= 0) frac += 1
+        i += 1
+      } else if (c == '.' && frac < 0) { frac = 0; i += 1 }
+      else plain = false
+    }
+    if (plain && digits > 0 && digits <= 15) {
+      val v = n / pow10(if (frac > 0) frac else 0)
+      if (neg) -v else v
+    } else {
+      try java.lang.Double.parseDouble(str.substring(from, to))
+      catch { case _: NumberFormatException => Double.NaN }
+    }
+  }
+
   private def parse(s: UTF8String, m: Memo): Unit = {
     m.ref = s
     m.lat = Double.NaN
@@ -375,12 +419,10 @@ object GeoParse {
     // Fields fail independently: a malformed number yields NaN for that
     // field only (same behavior as a regex-non-match producing null),
     // dropped by PagesSource.withLatLng's finite filter.
-    m.lat = try java.lang.Double.parseDouble(str.substring(start, comma))
-    catch { case _: NumberFormatException => Double.NaN }
+    m.lat = parseField(str, start, comma)
     var end = comma + 1
     while (end < str.length && str.charAt(end) != ' ') end += 1
-    m.lng = try java.lang.Double.parseDouble(str.substring(comma + 1, end))
-    catch { case _: NumberFormatException => Double.NaN }
+    m.lng = parseField(str, comma + 1, end)
   }
 
   def lat(s: UTF8String): Double = {

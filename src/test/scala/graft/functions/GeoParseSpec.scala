@@ -56,7 +56,9 @@ class GeoParseSpec extends AnyFunSuite {
       }
     }
     val rnd = new scala.util.Random(20260818L)
-    val frags = Array("geo:", ",", " ", "-", ".", "e", "x", "12", "7.5", "geo", ":", "")
+    val frags = Array("geo:", ",", " ", "-", "+", ".", "e", "E3", "x", "12",
+      "7.5", "geo", ":", "", "0123456789", "12345678901234567",
+      "000000", "Infinity", "NaN")
     def randomString(): String = {
       val sb = new StringBuilder
       for (_ <- 0 until rnd.nextInt(12)) sb.append(frags(rnd.nextInt(frags.length)))
