@@ -668,6 +668,23 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("jaccard"))
     }),
 
+    // Near-dup CLUSTER collapse — the step that makes the pair emitters
+    // an actual dedup: LSH pairs -> connected components (alternating
+    // large/small-star, O(log n) rounds at any graph diameter) -> one
+    // survivor per cluster (longest text, ties to smallest id). Banding
+    // recall 1.0 on this fixture carries over from q_minhash_lsh, so the
+    // oracle can take the exact pair set's transitive closure.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val all = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftdupmarker")).as("text")))
+      val pairs = graft.ops.Dedup.minHashLsh(s, all, "doc_id", "text",
+        threshold = 0.6).select(col("a_id"), col("b_id"))
+      graft.ops.ConnectedComponents.dedupClusters(s, all, pairs)
+    }),
+
     // The STREAMING near-dup screen under the same hard gate as the
     // batch path: the q_minhash_lsh fixture is fed as three deterministic
     // MemoryStream micro-batches through the stateful per-bucket screen;
@@ -1178,8 +1195,8 @@ object SparkEntry {
     // streaming screen over the same corpus): on this fixture banding
     // recall is provably 1.0 (min emitted Jaccard 0.75, max bucket
     // 6 << cap), so both approximate pipelines emit exactly this set.
-    val minhashExactPairsSql =
-      s"""WITH base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
+    val minhashPairsCtes =
+      s"""base AS (SELECT doc_id, text FROM read_parquet('$oracleSf/documents.parquet')),
          | docs AS (SELECT doc_id, text FROM base
          |          UNION ALL SELECT doc_id + 100000, text || ' graftdupmarker' FROM base),
          | grams AS (
@@ -1190,11 +1207,36 @@ object SparkEntry {
          | ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
          | inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
          |           FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6""".stripMargin
+         |           GROUP BY 1, 2),
+         | pairs AS (
+         |   SELECT a_id, b_id,
+         |     CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+         |   FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         |   WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6)""".stripMargin
+    val minhashExactPairsSql =
+      s"WITH $minhashPairsCtes SELECT a_id, b_id, jaccard FROM pairs"
+    // Transitive closure of the exact pair set via a recursive CTE, then
+    // the same survivor rule as ConnectedComponents.dedupClusters
+    // (longest text, ties to smallest doc_id). cluster_id = component
+    // minimum on both sides.
+    val dedupClusterSql =
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         | e AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |       UNION SELECT b_id, a_id FROM pairs),
+         | nodes AS (SELECT DISTINCT u AS id FROM e),
+         | reach(id, r) AS (
+         |   SELECT id, id FROM nodes
+         |   UNION
+         |   SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+         | lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         | lens AS (SELECT doc_id, length(text) AS len FROM docs),
+         | surv AS (SELECT cluster_id, id AS survivor_id FROM (
+         |   SELECT l.cluster_id, l.id,
+         |     row_number() OVER (PARTITION BY l.cluster_id
+         |                        ORDER BY lens.len DESC, l.id ASC) AS rn
+         |   FROM lab l JOIN lens ON lens.doc_id = l.id) WHERE rn = 1)
+         |SELECT l.id AS doc_id, l.cluster_id, s.survivor_id
+         |FROM lab l JOIN surv s ON s.cluster_id = l.cluster_id""".stripMargin
     val pipCitySql = {
       val branches = polys.map { case (id, loop) =>
         s"SELECT url, $id AS poly_id FROM pts WHERE ${convexPipSql(loop)}"
@@ -1551,6 +1593,7 @@ object SparkEntry {
            |LEFT JOIN quart q ON q.tx = c.tx AND q.ty = c.ty""".stripMargin,
 
       "q_minhash_lsh" -> minhashExactPairsSql,
+      "q_dedup_cluster" -> dedupClusterSql,
 
       // The streaming screen's at-least-once pair stream, distinct'd at
       // the sink, must equal the same exact batch set: state never
