@@ -628,6 +628,23 @@ object SparkEntry {
           col("stop_ratio"), col("punct_ratio"), col("quality"))
     }),
 
+    // Corpus curation / data mixing: per-(lang, source) cap via the
+    // bounded top-k aggregate (O(k) state, map-side combine — never a
+    // per-domain sort), then per-lang greedy token-budget fill. Quality
+    // DOUBLEs are bit-equal across engines (proven by q_text_stats's
+    // value hash), so selection order matches the SQL windows exactly.
+    "q_quota_mix" -> ((s, dir) => {
+      import graft.ops.{Curation, TextOps}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = TextOps.qualityScore(docs, "text")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      val capped = Curation.capPerStratum(
+        scored, Seq("lang", "source"), "quality", "doc_id", k = 2)
+      Curation.quotaFill(capped, "lang", "n_tokens", "quality", "doc_id",
+        budget = 1000L)
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1412,6 +1429,29 @@ object SparkEntry {
            |    + least((CAST($stopHits AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 4.0, 1.0) * 0.3
            |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS quality
            |FROM read_parquet('$oracleSf/documents.parquet')""".stripMargin
+      },
+
+      // Same quality formula, then the curation pipeline as SQL windows:
+      // rank <= 2 per (lang, source), cumulative n_tokens per lang in
+      // (quality desc, doc_id) order, keep rows starting under the budget.
+      "q_quota_mix" -> {
+        import graft.ops.TextOps
+        val stopHits = TextOps.stopwordHitsSql("text")
+        s"""WITH q AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.5
+           |      + least((CAST($stopHits AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 4.0, 1.0) * 0.3
+           |      + (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS quality
+           |  FROM read_parquet('$oracleSf/documents.parquet')),
+           | capped AS (SELECT doc_id, lang, source, n_tokens, quality FROM (
+           |   SELECT q.*, row_number() OVER (PARTITION BY lang, source
+           |     ORDER BY quality DESC, doc_id ASC) AS rn FROM q) WHERE rn <= 2),
+           | filled AS (SELECT capped.*, sum(n_tokens) OVER (PARTITION BY lang
+           |   ORDER BY quality DESC, doc_id ASC
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM capped)
+           |SELECT doc_id, lang, source, n_tokens, quality
+           |FROM filled WHERE cum - n_tokens < 1000""".stripMargin
       },
 
       "q_lang_id" ->

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounded top-k aggregate vs a window-rank reference, and the curation
+  * pipeline's cap + quota-fill semantics.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import graft.functions.TopKByScore.topKIds
+
+  test("top_k_ids matches window rank on random data, at any parallelism") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = Seq.tabulate(500) { i =>
+      (s"g${rng.nextInt(7)}", rng.nextInt(40).toDouble / 4.0, i.toLong)
+    }
+    for (parts <- Seq(1, 4, 17)) {
+      val df = rows.toDF("g", "score", "id").repartition(parts)
+      val got = df.groupBy("g").agg(topKIds(col("score"), col("id"), 3).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .orderBy("g", "rn").collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(_.getLong(2)).toList }
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("top_k_ids: k larger than group, ties broken by smaller id") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10L), ("a", 1.0, 4L), ("b", 2.0, 7L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g").agg(topKIds(col("score"), col("id"), 5).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == Map("a" -> List(4L, 10L), "b" -> List(7L)))
+  }
+
+  test("top_k_ids: NaN scores rank last, nulls ignored") {
+    import spark.implicits._
+    val df = Seq(("a", Some(Double.NaN), 1L), ("a", Some(0.5), 2L),
+      ("a", None, 3L), ("a", Some(0.9), 4L)).toDF("g", "score", "id")
+    val got = df.groupBy("g").agg(topKIds(col("score"), col("id"), 2).as("ids"))
+      .collect().map(_.getSeq[Long](1).toList).head
+    assert(got == List(4L, 2L))
+  }
+
+  test("capPerStratum keeps exactly the k best rows per stratum") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "s0", 0.9, 1L), ("en", "s0", 0.8, 2L), ("en", "s0", 0.7, 3L),
+      ("en", "s1", 0.1, 4L), ("de", "s0", 0.5, 5L), ("de", "s0", 0.5, 6L),
+      ("de", "s0", 0.5, 7L)).toDF("lang", "source", "quality", "doc_id")
+    val kept = Curation.capPerStratum(df, Seq("lang", "source"), "quality",
+      "doc_id", 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("quotaFill keeps rows while budget lasts; last row may overflow") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 0.9, 1L, 400L), ("en", 0.8, 2L, 400L), ("en", 0.7, 3L, 400L),
+      ("en", 0.6, 4L, 400L), ("de", 0.9, 5L, 2000L), ("de", 0.8, 6L, 10L))
+      .toDF("lang", "quality", "doc_id", "n_tokens")
+    val kept = Curation.quotaFill(df, "lang", "n_tokens", "quality",
+      "doc_id", budget = 1000L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // en: 400+400 < 1000 so doc 3 starts under budget (800) and overflows
+    // to 1200; doc 4 starts at 1200 >= 1000 -> dropped.
+    // de: doc 5 starts at 0 -> kept (overflows); doc 6 starts at 2000 -> dropped.
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+}
