@@ -56,6 +56,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List(4L, 2L))
   }
 
+  test("TopKBuffer fuzz: any insert sequence equals sort-take-k") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 300) {
+      val k = 1 + rng.nextInt(8)
+      val n = rng.nextInt(40)
+      // few distinct scores -> dense ties; ids may repeat too
+      val entries = Seq.fill(n)((rng.nextInt(5).toDouble, rng.nextInt(20).toLong))
+      val buf = new graft.functions.TopKBuffer(k)
+      entries.foreach { case (s, id) => buf.insert(s, id) }
+      val got = (0 until buf.n).map(i => (buf.scores(i), buf.ids(i))).toList
+      val want = entries.sortBy { case (s, id) => (-s, id) }.take(k).toList
+      assert(got == want, s"trial $trial k=$k entries=$entries")
+    }
+  }
+
+  test("TopKBuffer: merge order never changes the result") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 0 until 50) {
+      val k = 1 + rng.nextInt(5)
+      val entries = Seq.fill(30)((rng.nextInt(6).toDouble, rng.nextInt(50).toLong))
+      val whole = new graft.functions.TopKBuffer(k)
+      entries.foreach { case (s, id) => whole.insert(s, id) }
+      val parts = entries.grouped(7).map { chunk =>
+        val b = new graft.functions.TopKBuffer(k)
+        chunk.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }.toSeq
+      val merged = new graft.functions.TopKBuffer(k)
+      for (p <- rng.shuffle(parts); i <- 0 until p.n)
+        merged.insert(p.scores(i), p.ids(i))
+      assert((0 until merged.n).map(i => (merged.scores(i), merged.ids(i))) ==
+        (0 until whole.n).map(i => (whole.scores(i), whole.ids(i))), s"trial $trial")
+    }
+  }
+
   test("capPerStratum keeps exactly the k best rows per stratum") {
     import spark.implicits._
     val df = Seq(

@@ -99,6 +99,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("quota-mix cap aggregates bounded state; only the fill is a window") {
+    val p = plan("q_quota_mix")
+    assert(p.contains("top_k_ids"),
+      "per-domain cap must route through the bounded top-k aggregate")
+    assert(!p.contains("CartesianProduct"), "curation must not cross-join")
+    // exactly one Window operator pair (partial/final naming varies) —
+    // the per-lang cumsum; the cap itself must NOT plan as a window sort
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"cap must be an aggregate, not a second window:\n$p")
+  }
+
   test("headline pipeline stays inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q_pip_city")(spark, dir)
     val codegen = org.apache.spark.sql.execution.debug
