@@ -628,6 +628,19 @@ object SparkEntry {
           col("stop_ratio"), col("punct_ratio"), col("quality"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing any word 8-gram
+    // with the benchmark set (doc_id % 50 == 0). Benchmark gram hashes
+    // broadcast once; the corpus pass is a shuffle-free codegen map
+    // (shingle + merge-count probe). Oracle re-derives the overlap from
+    // raw gram strings (hash-vs-string equality absent collisions, the
+    // dedup family's declared trade).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.ops.Decontaminate.flagOverlaps(s, docs, bench, n = 8)
+    }),
+
     // Corpus curation / data mixing: per-(lang, source) cap via the
     // bounded top-k aggregate (O(k) state, map-side combine — never a
     // per-domain sort), then per-lang greedy token-budget fill. Quality
@@ -1430,6 +1443,23 @@ object SparkEntry {
            |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) * 0.2 AS quality
            |FROM read_parquet('$oracleSf/documents.parquet')""".stripMargin
       },
+
+      // 8-gram comprehension mirrors the minhash oracle's 3-gram one
+      // (docs with < 8 words contribute their whole text as one gram,
+      // matching shingleHashes' short-doc rule).
+      "q_decontaminate" ->
+        s"""WITH docs AS (SELECT doc_id, text
+           |   FROM read_parquet('$oracleSf/documents.parquet')),
+           | grams AS (
+           |   SELECT doc_id, list_distinct([array_to_string(string_split(text, ' ')[i:i+7], ' ')
+           |     for i in range(1, greatest(len(string_split(text, ' ')) - 6, 2))]) AS g
+           |   FROM docs),
+           | bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+           |           WHERE doc_id % 50 = 0),
+           | ex AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+           |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM ex JOIN bench ON ex.gram = bench.gram
+           |GROUP BY ex.doc_id""".stripMargin,
 
       // Same quality formula, then the curation pipeline as SQL windows:
       // rank <= 2 per (lang, source), cumulative n_tokens per lang in

@@ -194,9 +194,55 @@ case class BandKeyExpr(left: Expression, right: Expression, rowsPerBand: Int)
   override def prettyName: String = "band_key"
 }
 
+object BenchOverlapStatics {
+  /** Count of sorted-array elements present in the sorted broadcast set
+    * (both ascending signed; one merge pass, no allocation).
+    */
+  def overlapCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   bench: Array[Long]): Long = {
+    var i = 0; var j = 0; var hits = 0L
+    val n = a.numElements()
+    while (i < n && j < bench.length) {
+      val x = a.getLong(i)
+      if (x == bench(j)) { hits += 1; i += 1; j += 1 }
+      else if (x < bench(j)) i += 1
+      else j += 1
+    }
+    hits
+  }
+}
+
+/** bench_overlap(shingles) -> how many of the row's sorted distinct
+  * shingle hashes appear in the broadcast benchmark gram set. The
+  * benchmark set rides the codegen reference array as a broadcast
+  * (CoveringProbeExpr's pattern), so the corpus pass is a shuffle-free
+  * map stage at any corpus size.
+  */
+case class BenchOverlapExpr(child: Expression,
+                            bc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    BenchOverlapStatics.overlapCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bc.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("benchGramsBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BenchOverlapStatics.overlapCount($a, " +
+        s"(long[]) $bcRef.value())")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "bench_overlap"
+}
+
 object TextHash {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
+  def benchOverlap(shingles: Column,
+                   bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    col(BenchOverlapExpr(expr(shingles), bc))
   def simHash64(text: Column): Column = col(SimHash64Expr(expr(text)))
   def minHashSig(text: Column, shingleSize: Int, numHashes: Int,
                  seed: Long): Column =
