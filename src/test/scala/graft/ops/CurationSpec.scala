@@ -102,6 +102,44 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("q_quota_mix gate margins: boundary decisions far above ulp noise") {
+    // Every selection the oracle hash depends on is either integer-exact
+    // (the token cumsum) or separated by a quality margin orders of
+    // magnitude above any float-evaluation divergence — measured, not
+    // assumed (the KmeansMarginSpec discipline).
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val q = TextOps.qualityScore(docs, "text")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val ranked = q.withColumn("rn", row_number().over(w)).cache()
+    // cap boundary: kept rank-2 vs dropped rank-3 per stratum
+    val margins = ranked.filter(col("rn") === 2).as("a")
+      .join(ranked.filter(col("rn") === 3).as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source"))
+      .select((col("a.quality") - col("b.quality")).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(margins.nonEmpty)
+    assert(margins.forall(m => m == 0.0 || m > 1e-6),
+      s"sub-ulp-fragile cap margin: ${margins.min}")
+    assert(!margins.contains(0.0),
+      "exact ties would be fine (id tie-break) but the fixture has none — " +
+        "a new zero here means the fixture changed; re-measure")
+    // budget boundary: every lang's closest row-start must be whole
+    // tokens away from the 1000 threshold (integer-exact on both sides)
+    val wCum = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = ranked.filter(col("rn") <= 2)
+      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .select(abs(col("cum") - col("n_tokens") - 1000).as("d"))
+      .agg(min("d")).collect()(0).getLong(0)
+    ranked.unpersist()
+    assert(dist >= 1, s"a row starts exactly at the budget: distance $dist")
+  }
+
   test("quotaFill keeps rows while budget lasts; last row may overflow") {
     import spark.implicits._
     val df = Seq(
