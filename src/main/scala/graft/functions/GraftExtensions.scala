@@ -53,5 +53,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => S2DistanceExpr(es.toList)))
     ext.injectFunction((FunctionIdentifier("s2_snap_cell"), info("s2_snap_cell"),
       (es: Seq[Expression]) => S2SnapCellExpr(es(0), es(1), es(2))))
+
+    // Text-hash / dedup surface. Config parameters are expression
+    // constants, so they must arrive as foldable literals in SQL.
+    add1(ext, "simhash64", SimHash64Expr)
+    add2(ext, "jaccard_sorted", SortedJaccardExpr)
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es(0), litInt(es(1), "shingle_hashes(_, n)"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => MinHashSigExpr(es(0),
+        litInt(es(1), "minhash_sig shingleSize"),
+        litInt(es(2), "minhash_sig numHashes"),
+        litLong(es(3), "minhash_sig seed"))))
+    ext.injectFunction((FunctionIdentifier("band_key"), info("band_key"),
+      (es: Seq[Expression]) => BandKeyExpr(es(0), es(1),
+        litInt(es(2), "band_key rowsPerBand"))))
+    // bounded top-k aggregate: SELECT top_k_ids(score, id, 3) ... GROUP BY g
+    // (the analyzer wraps the returned AggregateFunction itself)
+    ext.injectFunction((FunctionIdentifier("top_k_ids"), info("top_k_ids"),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1),
+        litInt(es(2), "top_k_ids k"))))
+  }
+
+  private def litInt(e: Expression, what: String): Int = litLong(e, what).toInt
+
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal constant")
+    e.eval(null) match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }

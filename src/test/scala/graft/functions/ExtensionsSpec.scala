@@ -46,6 +46,26 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(4) === graft.core.WebMercator.tileY(48.8566, 12))
       assert(math.abs(row.getDouble(5) - 48.85) < 1e-12)
       assert(math.abs(row.getDouble(6) - math.Pi / 2) < 1e-12)
+
+      // text-hash surface: values must equal the Scala kernels
+      val th = spark.sql(
+        """SELECT simhash64('a b c'),
+          |  jaccard_sorted(shingle_hashes('a b c d', 3), shingle_hashes('a b c e', 3)),
+          |  size(minhash_sig('a b c d e', 3, 16, 42)),
+          |  band_key(minhash_sig('a b c d e', 3, 16, 42), 2, 4)""".stripMargin)
+        .collect()(0)
+      assert(th.getLong(0) === graft.ops.Dedup.simHash("a b c"))
+      assert(th.getDouble(1) === graft.ops.Dedup.ngramJaccard("a b c d", "a b c e", 3))
+      assert(th.getInt(2) === 16)
+
+      // bounded top-k aggregate from pure SQL
+      val agg = spark.sql(
+        """SELECT g, top_k_ids(s, id, 2) FROM VALUES
+          |  ('a', 1.0d, 10L), ('a', 3.0d, 11L), ('a', 2.0d, 12L),
+          |  ('b', 5.0d, 20L) AS t(g, s, id)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(agg(0).getSeq[Long](1) === Seq(11L, 12L))
+      assert(agg(1).getSeq[Long](1) === Seq(20L))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
