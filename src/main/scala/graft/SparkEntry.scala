@@ -658,6 +658,53 @@ object SparkEntry {
         budget = 1000L)
     }),
 
+    // PII redaction: scrub emails/phones before training. PII is planted
+    // deterministically on 2/3 of the docs (the other third must pass
+    // through byte-identical); the value hash covers the full redacted
+    // string plus independent per-kind match counts. Chained
+    // regexp_replace builtins: codegen, shuffle-free, one scan pass.
+    "q_pii_redact" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, col("text")).otherwise(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+      planted.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"),
+        TextOps.emailCount(col("text")).as("n_emails"),
+        TextOps.phoneCount(col("text")).as("n_phones"))
+    }),
+
+    // Deterministic stratified sampling: hash-gated Bernoulli per
+    // language, seedless and parallelism-independent (same doc set on
+    // any cluster layout — df.sample's per-partition RNG streams can't
+    // promise that). Shuffle-free scan; the exposed bucket column makes
+    // each acceptance auditable.
+    "q_sample_stratified" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Curation.sampleDeterministic(docs,
+        "concat(lang, ':', CAST(doc_id AS STRING))", "lang",
+        Seq("en" -> 30, "de" -> 60, "fr" -> 60, "es" -> 80), defaultRate = 90)
+        .select(col("doc_id"), col("lang"), col("sample_bucket"))
+    }),
+
+    // Token-budget shard assignment: contiguous training shards of ~500
+    // tokens per language in doc_id order, via the deterministic-bucket
+    // distributed prefix sum (per-bucket subtotals -> driver prefix ->
+    // bounded within-bucket windows) — never a whole-stratum
+    // single-reducer sort. bucketSize=128 exercises 4 buckets at sf0.01.
+    "q_token_shards" -> ((s, dir) => {
+      import graft.ops.{Curation, TextOps}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWhitespace(col("text")).cast("long").as("n_tokens"))
+      Curation.tokenShards(docs, "lang", "doc_id", "n_tokens",
+        budget = 500L, bucketSize = 128L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"))
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1483,6 +1530,45 @@ object SparkEntry {
            |SELECT doc_id, lang, source, n_tokens, quality
            |FROM filled WHERE cum - n_tokens < 1000""".stripMargin
       },
+
+      "q_pii_redact" -> {
+        import graft.ops.TextOps
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 2 THEN text
+           |       ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |            || '@example.com or +1-555-'
+           |            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END AS text
+           |  FROM read_parquet('$oracleSf/documents.parquet'))
+           |SELECT doc_id,
+           |  ${TextOps.redactPiiSql("text")} AS redacted,
+           |  ${TextOps.emailCountSql("text")} AS n_emails,
+           |  ${TextOps.phoneCountSql("text")} AS n_phones
+           |FROM d""".stripMargin
+      },
+
+      "q_sample_stratified" -> {
+        val bucket = graft.ops.TextOps.fingerprintSql(
+          "(lang || ':' || CAST(doc_id AS VARCHAR))")
+        s"""SELECT doc_id, lang, sample_bucket FROM (
+           |  SELECT doc_id, lang, CAST(($bucket) % 100 AS BIGINT) AS sample_bucket
+           |  FROM read_parquet('$oracleSf/documents.parquet'))
+           |WHERE sample_bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+           |  WHEN 'fr' THEN 60 WHEN 'es' THEN 80 ELSE 90 END)""".stripMargin
+      },
+
+      // The engine's bucketed prefix-sum decomposition must equal the
+      // plain global cumulative window per language — the oracle states
+      // the semantics, the engine the scale shape.
+      "q_token_shards" ->
+        s"""SELECT doc_id, lang, n_tokens,
+           |  CAST(floor((cum - n_tokens) / 500) AS BIGINT) AS shard
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           |      PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM read_parquet('$oracleSf/documents.parquet'))""".stripMargin,
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang

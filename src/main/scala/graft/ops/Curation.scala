@@ -45,4 +45,77 @@ object Curation {
       .filter(col("_cum") - col(costCol) < budget)
       .drop("_cum")
   }
+
+  /** Deterministic stratified Bernoulli sampling: keep a row iff
+    * hash(key) mod `mod` < rate(stratum). The hash is the same rolling
+    * hash as TextOps.fingerprint (so the SQL oracle mirrors it exactly);
+    * it is seedless and depends only on the key bytes, so the sample is
+    * identical at any parallelism, on any cluster, on any rerun —
+    * the property dataset-lineage reproducibility needs that
+    * `df.sample(fraction, seed)` (per-partition RNG streams) cannot give
+    * once partitioning changes. Shuffle-free: one codegen scan pass.
+    * The kept `sample_bucket` column is the hash residue, exposing the
+    * acceptance evidence for auditing.
+    */
+  def sampleDeterministic(df: DataFrame, keyExprSql: String, stratum: String,
+                          rates: Seq[(String, Int)], defaultRate: Int,
+                          mod: Int = 100): DataFrame = {
+    val bucket = (TextOps.fingerprint(keyExprSql) % mod).cast("long")
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((s, r), acc) => when(col(stratum) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** Token-budget shard assignment: in global (stratum, order) order,
+    * rows pack into contiguous shards of ~`budget` cost each —
+    * shard = floor(cost-before-this-row / budget), numbered per stratum.
+    * The last row of a shard may overflow the budget (greedy fill).
+    *
+    * Scale shape: the naive form is one cumulative-sum window per
+    * stratum, which sorts each whole stratum on a single reducer — dead
+    * on a 10^11-row 'en' stratum. Here the prefix sum is decomposed by a
+    * DETERMINISTIC coarse bucket (floor(order / bucketSize), no sampled
+    * range boundaries, so the result is identical at any parallelism):
+    *   1. per-(stratum, bucket) subtotals — a map-side-combinable
+    *      aggregate, collected to the driver (bounded by
+    *      order-domain / bucketSize rows);
+    *   2. driver prefix over buckets in order → per-bucket start offsets,
+    *      broadcast back;
+    *   3. a within-bucket cumulative window, partitioned by
+    *      (stratum, bucket) — every window partition is ≤ bucketSize
+    *      rows, embarrassingly parallel.
+    * One shuffle (the window), bounded window state, bounded driver pull.
+    */
+  def tokenShards(df: DataFrame, stratum: String, orderCol: String,
+                  costCol: String, budget: Long,
+                  bucketSize: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val bucketed = df.withColumn("_bkt",
+      floor(col(orderCol) / lit(bucketSize)).cast("long"))
+    val subs = bucketed.groupBy(col(stratum).as("_s"), col("_bkt"))
+      .agg(sum(col(costCol)).cast("long").as("_sub"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Driver prefix: offset(s, b) = Σ subtotals of (s, b') for b' < b.
+    val offsets = subs.sortBy(r => (r._1, r._2)).foldLeft(
+      (List.empty[(String, Long, Long)], "", 0L)) {
+      case ((acc, prevS, run), (s, b, sub)) =>
+        val start = if (s == prevS) run else 0L
+        ((s, b, start) :: acc, s, start + sub)
+    }._1
+    import spark.implicits._
+    val offDf = offsets.toDF("_s", "_bkt", "_off")
+      .withColumnRenamed("_s", stratum)
+    val w = Window.partitionBy(col(stratum), col("_bkt"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offDf), Seq(stratum, "_bkt"))
+      .withColumn("_cum", sum(col(costCol)).over(w) + col("_off"))
+      .withColumn("shard",
+        floor((col("_cum") - col(costCol)) / lit(budget)).cast("long"))
+      .drop("_bkt", "_off", "_cum")
+  }
 }

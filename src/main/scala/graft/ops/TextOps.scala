@@ -92,6 +92,33 @@ object TextOps {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(split($textCol, ''), c -> ascii(c)), 0L, (acc, v) -> (acc * 31 + CAST(v AS BIGINT)) % 1000000007)")
 
+  /** PII patterns, chosen to parse identically under Java regex (Spark)
+    * and RE2 (DuckDB): plain character classes and bounded repetition, no
+    * backreferences or lookaround. Escaped here as Scala string literals;
+    * the regex text is `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
+    * and `\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}`.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: replace every email / E.164-ish phone with a typed
+    * placeholder. Two chained regexp_replace builtins — codegen'd,
+    * shuffle-free, one scan pass; the standard pre-training scrub stage.
+    * Phones are redacted on the email-redacted text, but the patterns
+    * cannot overlap (emails need '@', phones start at '+'), so the two
+    * counts below are computed independently on the original text.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long")
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long")
+
   /** SQL oracle mirrors (DuckDB dialect) ------------------------------- */
 
   def stopwordHitsSql(textExpr: String): String = {
@@ -114,4 +141,17 @@ object TextOps {
 
   def fingerprintSql(textExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(c) AS BIGINT) for c in string_split($textExpr, '')]), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** DuckDB regexp_replace replaces only the first match unless the 'g'
+    * option is passed; Spark's always replaces all — hence the explicit
+    * 'g' here. The pattern text is identical byte-for-byte.
+    */
+  def redactPiiSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace($textExpr, '$emailPattern', '<EMAIL>', 'g'), '$phonePattern', '<PHONE>', 'g')"
+
+  def emailCountSql(textExpr: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$emailPattern')) AS BIGINT)"
+
+  def phoneCountSql(textExpr: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$phonePattern')) AS BIGINT)"
 }

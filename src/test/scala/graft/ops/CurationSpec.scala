@@ -154,4 +154,64 @@ class CurationSpec extends AnyFunSuite {
     // de: doc 5 starts at 0 -> kept (overflows); doc 6 starts at 2000 -> dropped.
     assert(kept == Set(1L, 2L, 3L, 5L))
   }
+
+  test("tokenShards equals the global window cumsum at any parallelism and bucket size") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(600) { i =>
+      (i.toLong, s"l${rng.nextInt(4)}", (1 + rng.nextInt(90)).toLong)
+    }
+    val w = Window.partitionBy("lang").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.toDF("id", "lang", "cost")
+      .withColumn("cum", sum(col("cost")).over(w))
+      .withColumn("shard", floor((col("cum") - col("cost")) / lit(100L)).cast("long"))
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 4, 17); bkt <- Seq(1L, 7L, 1000000L)) {
+      val got = Curation.tokenShards(
+        rows.toDF("id", "lang", "cost").repartition(parts),
+        "lang", "id", "cost", budget = 100L, bucketSize = bkt)
+        .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts bucketSize=$bkt")
+    }
+  }
+
+  test("tokenShards: shard starts are contiguous and greedy (last row may overflow)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "en", 60L), (1L, "en", 60L), (2L, "en", 60L), (3L, "en", 200L),
+      (4L, "de", 99L), (5L, "de", 1L), (6L, "de", 1L))
+      .toDF("id", "lang", "cost")
+    val got = Curation.tokenShards(df, "lang", "id", "cost",
+      budget = 100L, bucketSize = 2L)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en cums-before: 0,60,120,180 -> shards 0,0,1,1 (row 1 overflows 100;
+    // row 3's 200 cost lands wholly in shard 1). de: 0,99,100 -> 0,0,1.
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L,
+      4L -> 0L, 5L -> 0L, 6L -> 1L))
+  }
+
+  test("sampleDeterministic: partitioning-invariant, rate-gated, nested across rates") {
+    import spark.implicits._
+    val docs = Seq.tabulate(400)(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val key = "concat(lang, ':', CAST(doc_id AS STRING))"
+    def ids(df: org.apache.spark.sql.DataFrame, rates: Seq[(String, Int)]) =
+      Curation.sampleDeterministic(df, key, "lang", rates, defaultRate = 50)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(docs, Seq("en" -> 30, "de" -> 70))
+    for (parts <- Seq(1, 4, 17))
+      assert(ids(docs.repartition(parts), Seq("en" -> 30, "de" -> 70)) == base,
+        s"sample must not depend on partitioning (parts=$parts)")
+    // every kept bucket is under its stratum's rate
+    val rows = Curation.sampleDeterministic(docs, key, "lang",
+      Seq("en" -> 30, "de" -> 70), defaultRate = 50)
+      .select("lang", "sample_bucket").collect()
+    assert(rows.forall(r => r.getLong(1) <
+      (if (r.getString(0) == "en") 30 else 70)))
+    // raising a rate only ADDS rows (nested samples — the lineage property)
+    val wider = ids(docs, Seq("en" -> 60, "de" -> 70))
+    assert(base.subsetOf(wider) && wider.size > base.size)
+  }
 }

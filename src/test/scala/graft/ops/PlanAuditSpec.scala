@@ -70,6 +70,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw text must not be the shuffle key: $exch")
   }
 
+  test("PII redaction and deterministic sampling stay shuffle-free codegen scans") {
+    for (q <- Seq("q_pii_redact", "q_sample_stratified")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a single scan pass:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q must stay builtin-only")
+      // the "*(n)" stage prefix is executedPlan.toString's codegen marker
+      assert(p.contains("*(1)"), s"$q must run inside whole-stage codegen")
+    }
+  }
+
+  test("token shards: windows partition by (stratum, bucket), never a whole stratum") {
+    val p = plan("q_token_shards")
+    val winSpec = "windowspecdefinition\\([^)]*".r.findFirstIn(p).getOrElse("")
+    assert(winSpec.contains("_bkt"),
+      s"window must include the coarse bucket key (bounded partitions): $winSpec")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "per-bucket offsets must join via broadcast")
+  }
+
   test("vector queries use the fused vec_dot kernel, not array chains") {
     for (q <- Seq("q_ann_top3", "q_embed_neardup")) {
       val p = plan(q)
