@@ -705,6 +705,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"))
     }),
 
+    // Per-domain crawl profile over the pages table: host extracted from
+    // the url (same regex, Java and RE2 dialects agree), then one
+    // map-side-combinable aggregation keyed on host — page count,
+    // distinct langs, first/last crawl timestamp (as epoch seconds so
+    // the hash is timezone-proof), total text bytes. The standard
+    // curation precursor for per-domain caps and crawl scheduling.
+    "q_domain_stats" -> ((s, dir) => {
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      p.select(
+          regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"),
+          col("lang"), col("warc_ts"), length(col("text")).as("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(unix_timestamp(col("warc_ts"))).as("first_ts"),
+          max(unix_timestamp(col("warc_ts"))).as("last_ts"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1569,6 +1588,16 @@ object SparkEntry {
            |      PARTITION BY lang ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM read_parquet('$oracleSf/documents.parquet'))""".stripMargin,
+
+      "q_domain_stats" ->
+        s"""SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+           |  CAST(count(*) AS BIGINT) AS n_pages,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(epoch(min(warc_ts)) AS BIGINT) AS first_ts,
+           |  CAST(epoch(max(warc_ts)) AS BIGINT) AS last_ts,
+           |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+           |FROM read_parquet('$oraclePages')
+           |GROUP BY 1""".stripMargin,
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang
