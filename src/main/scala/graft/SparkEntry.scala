@@ -724,6 +724,29 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
     }),
 
+    // Repetition-based quality filter (the Gopher-style "repetitious
+    // text" rules): per-document duplicate-line fraction + duplicate
+    // word 2-/3-gram fractions, thresholded to a keep decision. The
+    // fixture has no natural newlines and natural dup-gram fractions of
+    // at most 0.13/0.07 (measured), so repetition is planted: a
+    // 4x-duplicated line on doc_id%4==0, a 16x-repeated phrase on
+    // doc_id%4==1; the other half must pass untouched. Builtin
+    // higher-order functions only — a shuffle-free codegen scan.
+    "q_quality_repetition" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), repeat(lit("\nbuy cheap widgets today"), 4)))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" "), repeat(lit("limited time offer "), 16)))
+          .otherwise(col("text")).as("text"))
+      TextOps.repetitionStats(planted, "text")
+        .withColumn("keep", TextOps.repetitionKeep)
+        .select("doc_id", "n_lines", "dup_line_frac", "dup_2gram_frac",
+          "dup_3gram_frac", "keep")
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1598,6 +1621,28 @@ object SparkEntry {
            |  CAST(sum(length(text)) AS BIGINT) AS total_chars
            |FROM read_parquet('$oraclePages')
            |GROUP BY 1""".stripMargin,
+
+      "q_quality_repetition" -> {
+        import graft.ops.TextOps
+        val toks = "string_split(text, ' ')"
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 4 = 0
+           |         THEN text || repeat(chr(10) || 'buy cheap widgets today', 4)
+           |       WHEN doc_id % 4 = 1
+           |         THEN text || ' ' || repeat('limited time offer ', 16)
+           |       ELSE text END AS text
+           |  FROM read_parquet('$oracleSf/documents.parquet')),
+           | f AS (SELECT doc_id,
+           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           |  ${TextOps.dupFracSql("string_split(text, chr(10))")} AS dup_line_frac,
+           |  ${TextOps.dupFracSql(TextOps.wordNgramsSql(toks, 2))} AS dup_2gram_frac,
+           |  ${TextOps.dupFracSql(TextOps.wordNgramsSql(toks, 3))} AS dup_3gram_frac
+           |  FROM d)
+           |SELECT doc_id, n_lines, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+           |  CAST((dup_line_frac <= 0.30 AND dup_2gram_frac <= 0.20
+           |        AND dup_3gram_frac <= 0.18) AS BIGINT) AS keep
+           |FROM f""".stripMargin
+      },
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang

@@ -92,6 +92,59 @@ object TextOps {
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(split($textCol, ''), c -> ascii(c)), 0L, (acc, v) -> (acc * 31 + CAST(v AS BIGINT)) % 1000000007)")
 
+  /** Fraction of duplicate elements in an array: 1 - distinct/total
+    * (0.0 for empty). Operand-identical to the SQL mirror, so the
+    * resulting doubles are bit-equal across engines.
+    */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) >= 1,
+      lit(1).cast("double")
+        - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Word n-grams over whitespace tokens as joined strings; documents
+    * with fewer than n tokens yield a single empty gram (dupFrac 0.0 —
+    * same value the SQL mirror's empty list produces). Builtin
+    * higher-order functions only: transform/sequence/slice/concat_ws,
+    * all codegen'd.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(lit("")))
+
+  /** Repetition signals — the Gopher-style "repetitious text" quality
+    * rules (published MassiveText filtering recipe): per-document
+    * fraction of duplicate lines and duplicate word 2-/3-grams. A
+    * shuffle-free codegen scan; no reference analogue (engine-side
+    * training-data pipeline operator).
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // Materialize each array in its own projection: dupFrac consumes its
+    // argument three times, and the n-gram builders are interpreted
+    // higher-order functions — CollapseProject keeps the expensive
+    // producer separate instead of inlining it 3x per row.
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__g2", wordNgrams(toks, 2))
+      .withColumn("__g3", wordNgrams(toks, 3))
+      .withColumn("n_lines", size(col("__lines")).cast("bigint"))
+      .withColumn("dup_line_frac", dupFrac(col("__lines")))
+      .withColumn("dup_2gram_frac", dupFrac(col("__g2")))
+      .withColumn("dup_3gram_frac", dupFrac(col("__g3")))
+      .drop("__lines", "__g2", "__g3")
+  }
+
+  /** Keep decision for the repetition filter (thresholds from the same
+    * recipe shape: dup lines <= 0.30, dup 2-grams <= 0.20, dup 3-grams
+    * <= 0.18), emitted as 0/1 for engine-stable hashing.
+    */
+  def repetitionKeep: Column =
+    (col("dup_line_frac") <= lit(0.30) &&
+      col("dup_2gram_frac") <= lit(0.20) &&
+      col("dup_3gram_frac") <= lit(0.18)).cast("bigint")
+
   /** PII patterns, chosen to parse identically under Java regex (Spark)
     * and RE2 (DuckDB): plain character classes and bounded repetition, no
     * backreferences or lookaround. Escaped here as Scala string literals;
@@ -138,6 +191,20 @@ object TextOps {
     }.mkString(" ")
     s"(CASE $caseChain ELSE 'und' END)"
   }
+
+  /** DuckDB mirror of [[dupFrac]]: identical operands and operation
+    * order, so the doubles are bit-equal.
+    */
+  def dupFracSql(arrExpr: String): String =
+    s"(CASE WHEN len($arrExpr) >= 1 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($arrExpr)) AS DOUBLE) / CAST(len($arrExpr) AS DOUBLE) ELSE 0.0 END)"
+
+  /** DuckDB mirror of [[wordNgrams]] (list comprehension over 1-based
+    * inclusive slices); short documents yield the empty list, whose
+    * dupFracSql is 0.0 — the same value the Spark side's single-empty-
+    * gram guard produces.
+    */
+  def wordNgramsSql(toksExpr: String, n: Int): String =
+    s"[array_to_string(($toksExpr)[i:i+${n - 1}], ' ') for i in range(1, len($toksExpr) - ${n - 2})]"
 
   def fingerprintSql(textExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(c) AS BIGINT) for c in string_split($textExpr, '')]), (a, b) -> (a * 31 + b) % 1000000007)"
