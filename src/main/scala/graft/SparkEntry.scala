@@ -747,6 +747,27 @@ object SparkEntry {
           "dup_3gram_frac", "keep")
     }),
 
+    // Corpus-level boilerplate paragraph removal (CCNet/Dolma cleaning
+    // shape): paragraphs appearing in >= 50 distinct docs are stripped
+    // from every doc, order preserved. Boilerplate is planted (cookie
+    // header on doc_id%3==0, rights footer on %5==0 — 267 paragraph
+    // instances across 233 docs at sf0.01); natural text multiplicity
+    // maxes at 2, far under the threshold. The hot-set cap (10) is
+    // mirrored in the SQL so the gate holds at any scale.
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withHdr = when(col("doc_id") % 3 === 0,
+        concat(lit("accept cookies to continue\n"), col("text")))
+        .otherwise(col("text"))
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(withHdr, lit("\nall rights reserved worldwide")))
+          .otherwise(withHdr).as("text"))
+      graft.ops.Boilerplate.removeBoilerplate(planted, "text",
+        minDocs = 50, maxBoilerplate = 10)
+        .select("doc_id", "n_paras", "n_removed", "clean_text")
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1643,6 +1664,26 @@ object SparkEntry {
            |        AND dup_3gram_frac <= 0.18) AS BIGINT) AS keep
            |FROM f""".stripMargin
       },
+
+      "q_boilerplate" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 5 = 0
+           |       THEN h || chr(10) || 'all rights reserved worldwide'
+           |       ELSE h END AS text
+           |  FROM (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN 'accept cookies to continue' || chr(10) || text
+           |         ELSE text END AS h
+           |    FROM read_parquet('$oracleSf/documents.parquet'))),
+           | p AS (SELECT unnest(list_distinct(string_split(text, chr(10)))) AS para FROM d),
+           | hot AS (SELECT para FROM (SELECT para, count(*) AS n_docs FROM p GROUP BY 1
+           |   HAVING count(*) >= 50 ORDER BY n_docs DESC, para LIMIT 10)),
+           | f AS (SELECT doc_id, string_split(text, chr(10)) AS paras,
+           |       (SELECT coalesce(list(para), []) FROM hot) AS hotlist FROM d)
+           |SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+           |  CAST(len(paras) - len(list_filter(paras, q -> NOT list_contains(hotlist, q))) AS BIGINT) AS n_removed,
+           |  array_to_string(list_filter(paras, q -> NOT list_contains(hotlist, q)), chr(10)) AS clean_text
+           |FROM f""".stripMargin,
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang
