@@ -768,6 +768,25 @@ object SparkEntry {
         .select("doc_id", "n_paras", "n_removed", "clean_text")
     }),
 
+    // Span-level duplicate measurement (the dedup granularity between
+    // whole-document hashes and paragraph removal): per doc, the count
+    // and fraction of its 8-token sliding windows that occur in >= 2
+    // distinct documents. A fixed 16-token passage is planted on
+    // doc_id%7==0 (9 guaranteed shared spans per planted doc); the tiny
+    // fixture vocabulary also yields real natural span collisions
+    // (measured: 1015 of 22.6k distinct spans at sf0.01), which the
+    // oracle reproduces exactly — no caps, no floats beyond one division
+    // on identical integer operands.
+    "q_span_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy dog again and again every single day forever")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.spanDupStats(planted, "doc_id", "text")
+        .select("doc_id", "n_spans", "n_dup_spans", "dup_span_frac")
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -1684,6 +1703,25 @@ object SparkEntry {
            |  CAST(len(paras) - len(list_filter(paras, q -> NOT list_contains(hotlist, q))) AS BIGINT) AS n_removed,
            |  array_to_string(list_filter(paras, q -> NOT list_contains(hotlist, q)), chr(10)) AS clean_text
            |FROM f""".stripMargin,
+
+      "q_span_dedup" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0
+           |       THEN text || ' the quick brown fox jumps over the lazy dog again and again every single day forever'
+           |       ELSE text END AS text
+           |  FROM read_parquet('$oracleSf/documents.parquet')),
+           | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+           | s AS (SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+           |   for i in range(1, len(toks) - 6)]) AS span FROM t),
+           | dup AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS nd
+           |   FROM s GROUP BY 1) WHERE nd >= 2),
+           | pd AS (SELECT doc_id, count(*) AS n_dup FROM s JOIN dup USING(span) GROUP BY 1)
+           |SELECT t.doc_id, CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_spans,
+           |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           |  CASE WHEN len(toks) >= 8
+           |       THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE) / CAST(len(toks) - 7 AS DOUBLE)
+           |       ELSE 0.0 END AS dup_span_frac
+           |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin,
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang

@@ -385,4 +385,47 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  /** Span-level duplicate measurement (the "deduplicating training data"
+    * granularity between whole-document hashing and paragraph removal):
+    * for each document, how many of its length-`spanTokens` sliding token
+    * windows also occur in at least `minDocs` OTHER-or-same distinct
+    * documents, and what fraction of its spans that is. Downstream, docs
+    * above a dup_span_frac threshold are dropped or trimmed.
+    *
+    * Scale shape: spans explode to (doc_id, span) rows — narrow, id +
+    * one short string — then one span-keyed aggregate with a partial
+    * distinct (count(DISTINCT doc_id) two-phase), one equi-join back on
+    * the span key, one doc-keyed count, and a left join onto the doc
+    * spine. Documents themselves never shuffle; hot spans are a single
+    * AQE-splittable join key. At deploy scale the span string is
+    * replaced by a 128-bit hash to shrink shuffle rows (collision-free
+    * in practice); the gate query keys by the string so the oracle
+    * semantics are exact.
+    */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"),
+      greatest(size(toks) - lit(spanTokens - 1), lit(0))
+        .cast("bigint").as("n_spans"),
+      TextOps.wordNgrams(toks, spanTokens).as("__spans"))
+    // the single-empty-gram guard marks short docs; those rows drop here
+    val spanRows = base
+      .select(col("doc_id"), explode(col("__spans")).as("span"))
+      .filter(col("span") =!= "")
+    val dupSpans = spanRows
+      .groupBy("span").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span")
+    val perDoc = spanRows.join(dupSpans, "span")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    base.select("doc_id", "n_spans")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") >= 1,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }
