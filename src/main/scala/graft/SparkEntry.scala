@@ -724,6 +724,79 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
     }),
 
+    // URL canonicalization (the crawl-frontier / url-dedup precursor):
+    // strip fragment, lowercase scheme+authority only, drop default
+    // ports, drop tracking params + sort survivors, strip trailing
+    // slashes. Variants are planted per page_id%4 (tracking params,
+    // uppercased authority + :443 + fragment, uppercase path + trailing
+    // slash) so every rule is exercised; the uppercase-path variant
+    // proves case is preserved OUTSIDE the authority. Shuffle-free
+    // codegen map stage — the scale shape is "free".
+    "q_url_canon" -> ((s, dir) => {
+      import graft.ops.UrlOps
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val raw = when(pid % 4 === 1,
+          concat(col("url"), lit("?utm_source=feed&b=2&a=1&ref=rss")))
+        .when(pid % 4 === 2,
+          concat(
+            regexp_replace(
+              regexp_replace(col("url"), "^https://example-", "HTTPS://EXAMPLE-"),
+              "\\.test/", ".TEST:443/"),
+            lit("#frag")))
+        .when(pid % 4 === 3, concat(col("url"), lit("/EXTRA/")))
+        .otherwise(col("url"))
+      p.select(pid.as("page_id"), raw.as("raw_url"))
+        .withColumn("canon_url", UrlOps.canonicalizeUrl(col("raw_url")))
+        .withColumn("changed",
+          (col("canon_url") =!= col("raw_url")).cast("long"))
+    }),
+
+    // Re-crawl dedup: pages whose page_id%10 >= 7 are planted as
+    // re-crawls of their decade's base url; per url keep the LATEST
+    // snapshot (max warc_ts) — the standard "one row per url, newest
+    // capture wins" CC rule, and the shape the per-url byte-identical
+    // text invariant rides on. One map-side-combinable aggregation
+    // (count/max/max_by), no window, no second shuffle.
+    "q_url_latest" -> ((s, dir) => {
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val cid = when(pid % 10 >= 7, pid - pid % 10).otherwise(pid)
+      val curl = concat(lit("https://example-"),
+        (cid % 1000).cast("string"), lit(".test/page/"), cid.cast("string"))
+      p.select(curl.as("url"), col("warc_ts"), col("text"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_crawls"),
+          max(unix_timestamp(col("warc_ts"))).as("kept_ts"),
+          max_by(col("text"), col("warc_ts")).as("text"))
+    }),
+
+    // Outlink extraction + link-graph in-degree: two anchors are planted
+    // into each page's html (targets keyed by page_id*7 and *13 mod the
+    // 1000-host universe), hrefs regex-extracted from the raw bytes,
+    // exploded, and aggregated to per-target-host in-degree + distinct
+    // source hosts. Explode then ONE aggregation: the link-graph edge
+    // list never round-trips through the driver and the group-by is
+    // map-side combinable on the 1000-key host space.
+    "q_outlinks" -> ((s, dir) => {
+      import graft.ops.UrlOps
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val h = concat(decode(col("html"), "UTF-8"),
+        lit("<a href=\"https://example-"), ((pid * 7) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"https://example-"), ((pid * 13) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"), lit("\">b</a>"))
+      p.select(
+          regexp_extract(col("url"), UrlOps.hostRe, 1).as("src_host"),
+          explode(regexp_extract_all(h, lit(UrlOps.hrefRe), lit(1))).as("href"))
+        .select(col("src_host"),
+          regexp_extract(col("href"), UrlOps.hostRe, 1).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("in_links"),
+          countDistinct(col("src_host")).as("n_src_hosts"))
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1661,6 +1734,70 @@ object SparkEntry {
            |  CAST(sum(length(text)) AS BIGINT) AS total_chars
            |FROM read_parquet('$oraclePages')
            |GROUP BY 1""".stripMargin,
+
+      // Variant planting (pid%4 arms) and the canonicalization rules are
+      // both re-stated from UrlOps' shared regex constants — DuckDB
+      // evaluates the identical specification with its own regex engine.
+      "q_url_canon" -> {
+        import graft.ops.UrlOps
+        val canon = UrlOps.canonicalizeUrlSql("raw_url")
+        s"""WITH p AS (
+           |  SELECT CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS page_id,
+           |    url FROM read_parquet('$oraclePages')
+           |), r AS (
+           |  SELECT page_id,
+           |    CASE
+           |      WHEN page_id % 4 = 1 THEN url || '?utm_source=feed&b=2&a=1&ref=rss'
+           |      WHEN page_id % 4 = 2 THEN
+           |        regexp_replace(
+           |          regexp_replace(url, '^https://example-', 'HTTPS://EXAMPLE-'),
+           |          '\\.test/', '.TEST:443/') || '#frag'
+           |      WHEN page_id % 4 = 3 THEN url || '/EXTRA/'
+           |      ELSE url
+           |    END AS raw_url
+           |  FROM p)
+           |SELECT page_id, raw_url, $canon AS canon_url,
+           |  CAST($canon <> raw_url AS BIGINT) AS changed
+           |FROM r""".stripMargin
+      },
+
+      "q_url_latest" ->
+        s"""WITH p AS (
+           |  SELECT url, warc_ts, text,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')
+           |), m AS (
+           |  SELECT CASE WHEN pid % 10 >= 7 THEN pid - pid % 10 ELSE pid END AS cid,
+           |    warc_ts, text FROM p)
+           |SELECT 'https://example-' || CAST(cid % 1000 AS VARCHAR)
+           |    || '.test/page/' || CAST(cid AS VARCHAR) AS url,
+           |  CAST(count(*) AS BIGINT) AS n_crawls,
+           |  CAST(epoch(max(warc_ts)) AS BIGINT) AS kept_ts,
+           |  arg_max(text, warc_ts) AS text
+           |FROM m GROUP BY 1""".stripMargin,
+
+      "q_outlinks" -> {
+        import graft.ops.UrlOps
+        s"""WITH p AS (
+           |  SELECT url, decode(html) AS h0,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')
+           |), w AS (
+           |  SELECT regexp_extract(url, '${UrlOps.hostRe}', 1) AS src_host,
+           |    h0 || '<a href="https://example-' || CAST((pid * 7) % 1000 AS VARCHAR)
+           |       || '.test/page/' || CAST(pid % 50 AS VARCHAR) || '">a</a>'
+           |       || '<a href="https://example-' || CAST((pid * 13) % 1000 AS VARCHAR)
+           |       || '.test/page/' || CAST(pid % 50 AS VARCHAR) || '">b</a>' AS h
+           |  FROM p
+           |), e AS (
+           |  SELECT src_host,
+           |    unnest(regexp_extract_all(h, '${UrlOps.hrefRe}', 1)) AS href
+           |  FROM w)
+           |SELECT regexp_extract(href, '${UrlOps.hostRe}', 1) AS host,
+           |  CAST(count(*) AS BIGINT) AS in_links,
+           |  CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+           |FROM e GROUP BY 1""".stripMargin
+      },
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps
