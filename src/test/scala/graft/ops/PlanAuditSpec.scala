@@ -129,6 +129,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cap must be an aggregate, not a second window:\n$p")
   }
 
+  test("url family: canon is a pure scan, latest/outlinks aggregate map-side") {
+    val canon = plan("q_url_canon")
+    assert(!canon.contains("Exchange"), s"q_url_canon must be projection-only:\n$canon")
+    assert(!canon.contains("ScalaUDF"), "q_url_canon must stay builtin-only")
+    val latest = plan("q_url_latest")
+    assert("Exchange".r.findAllIn(latest).size == 1,
+      s"q_url_latest must be one partial+final aggregation:\n$latest")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(latest).size >= 2,
+      "q_url_latest needs map-side partial aggregation (max_by combines)")
+    val out = plan("q_outlinks")
+    // two-phase distinct on the bounded host key space: at most 2 exchanges
+    assert("Exchange".r.findAllIn(out).size <= 2,
+      s"q_outlinks must stay the standard two-phase distinct:\n$out")
+    assert(!out.contains("CartesianProduct"), "link graph must not cross-join")
+  }
+
   test("headline pipeline stays inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q_pip_city")(spark, dir)
     val codegen = org.apache.spark.sql.execution.debug
