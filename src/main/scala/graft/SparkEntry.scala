@@ -797,6 +797,30 @@ object SparkEntry {
           countDistinct(col("src_host")).as("n_src_hosts"))
     }),
 
+    // Host-graph PageRank (the crawl-quality prior downstream of
+    // q_outlinks): the same planted page-level edges collapse to the
+    // weighted host graph, then 3 fixed-point integer PageRank
+    // iterations (scale 1e9, damping 85/100, truncating div). Integer
+    // arithmetic end-to-end makes the ranks bit-identical across
+    // engines, parallelism and cluster layout — no double-summation
+    // order anywhere — so the gate hash is exact, not tolerance-based.
+    "q_host_rank" -> ((s, dir) => {
+      import graft.ops.{LinkGraph, UrlOps}
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val h = concat(decode(col("html"), "UTF-8"),
+        lit("<a href=\"https://example-"), ((pid * 7) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"https://example-"), ((pid * 13) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"), lit("\">b</a>"))
+      val edges = p.select(
+          regexp_extract(col("url"), UrlOps.hostRe, 1).as("src"),
+          explode(regexp_extract_all(h, lit(UrlOps.hrefRe), lit(1))).as("href"))
+        .select(col("src"),
+          regexp_extract(col("href"), UrlOps.hostRe, 1).as("dst"))
+      LinkGraph.hostRank(edges, iters = 3)
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1797,6 +1821,33 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS in_links,
            |  CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
            |FROM e GROUP BY 1""".stripMargin
+      },
+
+      // Edge construction re-stated from the q_outlinks planting; the
+      // PageRank iterations come from LinkGraph.hostRankSql — the same
+      // integer fixed-point specification the Spark side executes
+      // (DuckDB `//` ≡ Spark `div` on non-negative BIGINTs).
+      "q_host_rank" -> {
+        import graft.ops.{LinkGraph, UrlOps}
+        val edgesSql =
+          s"""WITH p0 AS (
+             |  SELECT url, decode(html) AS h0,
+             |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+             |  FROM read_parquet('$oraclePages')
+             |), w0 AS (
+             |  SELECT regexp_extract(url, '${UrlOps.hostRe}', 1) AS src,
+             |    h0 || '<a href="https://example-' || CAST((pid * 7) % 1000 AS VARCHAR)
+             |       || '.test/page/' || CAST(pid % 50 AS VARCHAR) || '">a</a>'
+             |       || '<a href="https://example-' || CAST((pid * 13) % 1000 AS VARCHAR)
+             |       || '.test/page/' || CAST(pid % 50 AS VARCHAR) || '">b</a>' AS h
+             |  FROM p0
+             |), e0 AS (
+             |  SELECT src,
+             |    unnest(regexp_extract_all(h, '${UrlOps.hrefRe}', 1)) AS href
+             |  FROM w0)
+             |SELECT src, regexp_extract(href, '${UrlOps.hostRe}', 1) AS dst
+             |FROM e0""".stripMargin
+        LinkGraph.hostRankSql(edgesSql, iters = 3)
       },
 
       "q_quality_repetition" -> {
