@@ -821,6 +821,17 @@ object SparkEntry {
       LinkGraph.hostRank(edges, iters = 3)
     }),
 
+    // Per-document salient terms: top-3 tokens by (tf desc, df asc,
+    // token asc) — the TF-IDF ranking with an all-integer order, so the
+    // gate is exact (no idf logarithm to disagree across engines). Both
+    // aggregations combine map-side; the top-k window partitions by
+    // document (bounded by per-doc vocabulary, never a hot stratum).
+    "q_keywords" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.ops.TextOps.keywordsTfDf(docs, "doc_id", "text", k = 3)
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1849,6 +1860,24 @@ object SparkEntry {
              |FROM e0""".stripMargin
         LinkGraph.hostRankSql(edgesSql, iters = 3)
       },
+
+      "q_keywords" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM read_parquet('$oracleSf/documents.parquet')
+           |), tf AS (
+           |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           |  FROM t WHERE token <> '' GROUP BY 1, 2
+           |), dfq AS (
+           |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+           |), r AS (
+           |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+           |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS BIGINT)
+           |      AS kw_rank
+           |  FROM tf JOIN dfq USING (token))
+           |SELECT doc_id, token, tf, df, kw_rank FROM r
+           |WHERE kw_rank <= 3""".stripMargin,
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps

@@ -114,6 +114,38 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(lit("")))
 
+  /** Per-document salient-term extraction: the top-k tokens by
+    * (tf desc, df asc, token asc) — term frequency first, corpus rarity
+    * as the tie-break, bytewise token order closing all ties. The
+    * all-integer ordering makes the result exact at any parallelism (no
+    * idf logarithm, no double comparisons — the TF-IDF ranking without
+    * its float hazard).
+    *
+    * Scale shape: explode → (doc, token) tf agg and token df agg, both
+    * map-side combinable; the df join keys on token (hot stopwords are
+    * one AQE-splittable key); the top-k window partitions by DOCUMENT,
+    * whose size is bounded by per-doc vocabulary — never a hot-stratum
+    * single-reducer sort (unlike domain strata, a document cannot grow
+    * with the corpus).
+    */
+  def keywordsTfDf(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("kw_rank"))
+  }
+
   /** Repetition signals — the Gopher-style "repetitious text" quality
     * rules (published MassiveText filtering recipe): per-document
     * fraction of duplicate lines and duplicate word 2-/3-grams. A
