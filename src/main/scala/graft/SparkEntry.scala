@@ -832,6 +832,28 @@ object SparkEntry {
       graft.ops.TextOps.keywordsTfDf(docs, "doc_id", "text", k = 3)
     }),
 
+    // Crawl-snapshot diff: snapshot B is planted from the pages table
+    // (pid%7 deleted, pid%5 text-changed, pid%13 spawns an added /v2
+    // url; deletion wins the %35 overlap by construction), then one
+    // full-outer join on url over (url, sha) pairs ONLY — text never
+    // shuffles — emitting just the added/deleted/changed rows. The
+    // incremental-recompute feed: downstream stages process |delta|,
+    // not the corpus.
+    "q_crawl_delta" -> ((s, dir) => {
+      import graft.ops.CrawlDelta
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+        .withColumn("_pid",
+          regexp_extract(col("url"), "([0-9]+)$", 1).cast("long"))
+      val prev = p.select(col("url"), col("text"))
+      val nextB = p.filter(col("_pid") % 7 =!= 0)
+        .select(col("url"),
+          when(col("_pid") % 5 === 0, concat(col("text"), lit(" UPDATED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(p.filter(col("_pid") % 13 === 0)
+          .select(concat(col("url"), lit("/v2")).as("url"), col("text")))
+      CrawlDelta.crawlDelta(prev, nextB, "url", "text")
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1878,6 +1900,30 @@ object SparkEntry {
            |  FROM tf JOIN dfq USING (token))
            |SELECT doc_id, token, tf, df, kw_rank FROM r
            |WHERE kw_rank <= 3""".stripMargin,
+
+      "q_crawl_delta" ->
+        s"""WITH p AS (
+           |  SELECT url, text,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')
+           |), b AS (
+           |  SELECT url,
+           |    CASE WHEN pid % 5 = 0 THEN text || ' UPDATED' ELSE text END
+           |      AS text
+           |  FROM p WHERE pid % 7 <> 0
+           |  UNION ALL
+           |  SELECT url || '/v2' AS url, text FROM p WHERE pid % 13 = 0
+           |), d AS (
+           |  SELECT coalesce(a.url, b.url) AS url,
+           |    CASE WHEN a.url IS NULL THEN 'added'
+           |         WHEN b.url IS NULL THEN 'deleted'
+           |         WHEN sha256(a.text) <> sha256(b.text) THEN 'changed'
+           |         ELSE 'unchanged' END AS status,
+           |    CASE WHEN b.url IS NULL THEN NULL
+           |         ELSE sha256(b.text) END AS new_sha
+           |  FROM p a FULL OUTER JOIN b ON a.url = b.url)
+           |SELECT url, status, new_sha FROM d
+           |WHERE status <> 'unchanged'""".stripMargin,
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps
