@@ -854,6 +854,30 @@ object SparkEntry {
       CrawlDelta.crawlDelta(prev, nextB, "url", "text")
     }),
 
+    // Per-language vocabulary head: top-20 tokens by (count desc, token
+    // asc bytewise) per language — computed with the string-payload
+    // bounded top-k aggregate, NOT a window: languages are few and
+    // enormous (10^11 'en' tokens at deploy scale), exactly the hot
+    // stratum a row_number() window would sort on one reducer. The
+    // aggregate carries O(k) state through map-side combine; its
+    // bytewise tie-break equals DuckDB's binary collation, so the SQL
+    // window oracle reproduces the order exactly.
+    "q_vocab_topk" -> ((s, dir) => {
+      import graft.functions.TopKStrings
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val counts = docs.select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(TopKStrings.topKStrs(col("cnt"), col("token"), 20).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.str").as("token"),
+          col("col.score").as("cnt"),
+          (col("pos") + 1).cast("long").as("vrank"))
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1924,6 +1948,20 @@ object SparkEntry {
            |  FROM p a FULL OUTER JOIN b ON a.url = b.url)
            |SELECT url, status, new_sha FROM d
            |WHERE status <> 'unchanged'""".stripMargin,
+
+      "q_vocab_topk" ->
+        s"""WITH t AS (
+           |  SELECT lang, unnest(string_split(text, ' ')) AS token
+           |  FROM read_parquet('$oracleSf/documents.parquet')
+           |), c AS (
+           |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM t WHERE token <> '' GROUP BY 1, 2
+           |), r AS (
+           |  SELECT lang, token, cnt,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC, token ASC) AS BIGINT) AS vrank
+           |  FROM c)
+           |SELECT lang, token, cnt, vrank FROM r WHERE vrank <= 20""".stripMargin,
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps

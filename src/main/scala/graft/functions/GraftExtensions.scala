@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_k_ids"), info("top_k_ids"),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1),
         litInt(es(2), "top_k_ids k"))))
+    // string-payload variant: SELECT top_k_strs(cnt, token, 20) ... GROUP BY g
+    ext.injectFunction((FunctionIdentifier("top_k_strs"), info("top_k_strs"),
+      (es: Seq[Expression]) => TopKStrings(es(0), es(1),
+        litInt(es(2), "top_k_strs k"))))
   }
 
   private def litInt(e: Expression, what: String): Int = litLong(e, what).toInt

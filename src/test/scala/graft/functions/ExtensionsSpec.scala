@@ -66,6 +66,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |GROUP BY g ORDER BY g""".stripMargin).collect()
       assert(agg(0).getSeq[Long](1) === Seq(11L, 12L))
       assert(agg(1).getSeq[Long](1) === Seq(20L))
+
+      // string-payload top-k aggregate from pure SQL
+      val sagg = spark.sql(
+        """SELECT top_k_strs(c, w, 2) FROM VALUES
+          |  (3L, 'beta'), (3L, 'alpha'), (9L, 'gamma') AS t(c, w)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(sagg.map(r => (r.getLong(0), r.getString(1))) ===
+        Seq((9L, "gamma"), (3L, "alpha")))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
