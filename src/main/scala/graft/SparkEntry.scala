@@ -878,6 +878,66 @@ object SparkEntry {
           (col("pos") + 1).cast("long").as("vrank"))
     }),
 
+    // Inbound anchor-text profile per target host — the link-context
+    // quality/title signal: anchor tags parsed from the raw html (two
+    // planted per page, anchor text keyed off pid so hosts accumulate
+    // repeated texts), then (host, anchor) counts and the top-3 anchors
+    // per host via the bounded string top-k aggregate — target hosts
+    // are hot keys (a popular site has 10^9 inlinks), so the window
+    // alternative would single-reducer-sort exactly the hosts that
+    // matter most.
+    "q_anchor_text" -> ((s, dir) => {
+      import graft.functions.TopKStrings
+      import graft.ops.UrlOps
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val h = concat(decode(col("html"), "UTF-8"),
+        lit("<a href=\"https://example-"), ((pid * 7) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"),
+        lit("\">click "), (pid % 17).cast("string"), lit("</a>"),
+        lit("<a href=\"https://example-"), ((pid * 13) % 1000).cast("string"),
+        lit(".test/page/"), (pid % 50).cast("string"),
+        lit("\">visit "), (pid % 11).cast("string"), lit("</a>"))
+      val pairs = p.select(
+          explode(regexp_extract_all(h, lit(UrlOps.anchorTagRe), lit(0)))
+            .as("tag"))
+        .select(
+          regexp_extract(regexp_extract(col("tag"), UrlOps.anchorTagRe, 1),
+            UrlOps.hostRe, 1).as("host"),
+          regexp_extract(col("tag"), UrlOps.anchorTagRe, 2).as("anchor"))
+      pairs.groupBy(col("host"), col("anchor"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("host"))
+        .agg(TopKStrings.topKStrs(col("cnt"), col("anchor"), 3).as("top"))
+        .select(col("host"), posexplode(col("top")))
+        .select(col("host"), col("col.str").as("anchor"),
+          col("col.score").as("cnt"),
+          (col("pos") + 1).cast("long").as("arank"))
+    }),
+
+    // Per-host crawl-rate time series: daily capture counts + a 3-day
+    // RANGE-frame moving sum (true day-distance window, not a row
+    // window — gap days don't smear the frame). Day = epoch div 86400,
+    // all arithmetic integer, so the series is timezone-proof and
+    // engine-exact. The window partitions by host ordered by day: a
+    // host's partition is CALENDAR-bounded (days, not pages), so a
+    // 10^9-page host costs the same window state as a small one —
+    // the aggregation before it already collapsed pages to days
+    // map-side.
+    "q_crawl_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.UrlOps
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val daily = p.select(
+          regexp_extract(col("url"), UrlOps.hostRe, 1).as("host"),
+          expr("unix_timestamp(warc_ts) div 86400").as("day"))
+        .groupBy(col("host"), col("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w = Window.partitionBy(col("host")).orderBy(col("day"))
+        .rangeBetween(-2, 0)
+      daily.withColumn("cnt_3d", sum(col("cnt")).over(w).cast("long"))
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -1962,6 +2022,58 @@ object SparkEntry {
            |      ORDER BY cnt DESC, token ASC) AS BIGINT) AS vrank
            |  FROM c)
            |SELECT lang, token, cnt, vrank FROM r WHERE vrank <= 20""".stripMargin,
+
+      "q_anchor_text" -> {
+        import graft.ops.UrlOps
+        s"""WITH p0 AS (
+           |  SELECT url, decode(html) AS h0,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')
+           |), w0 AS (
+           |  SELECT h0 || '<a href="https://example-' || CAST((pid * 7) % 1000 AS VARCHAR)
+           |       || '.test/page/' || CAST(pid % 50 AS VARCHAR)
+           |       || '">click ' || CAST(pid % 17 AS VARCHAR) || '</a>'
+           |       || '<a href="https://example-' || CAST((pid * 13) % 1000 AS VARCHAR)
+           |       || '.test/page/' || CAST(pid % 50 AS VARCHAR)
+           |       || '">visit ' || CAST(pid % 11 AS VARCHAR) || '</a>' AS h
+           |  FROM p0
+           |), tg AS (
+           |  SELECT unnest(regexp_extract_all(h, '${UrlOps.anchorTagRe}', 0)) AS tag
+           |  FROM w0
+           |), pr AS (
+           |  SELECT regexp_extract(regexp_extract(tag, '${UrlOps.anchorTagRe}', 1),
+           |      '${UrlOps.hostRe}', 1) AS host,
+           |    regexp_extract(tag, '${UrlOps.anchorTagRe}', 2) AS anchor
+           |  FROM tg
+           |), c AS (
+           |  SELECT host, anchor, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM pr GROUP BY 1, 2
+           |), r AS (
+           |  SELECT host, anchor, cnt,
+           |    CAST(row_number() OVER (PARTITION BY host
+           |      ORDER BY cnt DESC, anchor ASC) AS BIGINT) AS arank
+           |  FROM c)
+           |SELECT host, anchor, cnt, arank FROM r WHERE arank <= 3""".stripMargin
+      },
+
+      "q_crawl_rate" -> {
+        import graft.ops.UrlOps
+        // DuckDB epoch() is DOUBLE and CAST(double AS BIGINT) ROUNDS —
+        // floor() explicitly to match Spark's integral `div` semantics.
+        s"""WITH p AS (
+           |  SELECT regexp_extract(url, '${UrlOps.hostRe}', 1) AS host,
+           |    CAST(floor(epoch(warc_ts) / 86400) AS BIGINT) AS day
+           |  FROM read_parquet('$oraclePages')
+           |), d AS (
+           |  SELECT host, CAST(day AS BIGINT) AS day,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM p GROUP BY 1, 2)
+           |SELECT host, day, cnt,
+           |  CAST(sum(cnt) OVER (PARTITION BY host ORDER BY day
+           |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cnt_3d
+           |FROM d""".stripMargin
+      },
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps

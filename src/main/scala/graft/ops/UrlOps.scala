@@ -75,4 +75,9 @@ object UrlOps {
 
   /** Host component of a URL (group 1), for link-graph keying. */
   val hostRe = "https?://([^/:]+)[/:]"
+
+  /** Full anchor tag: group 1 = href value, group 2 = anchor text.
+    * Java regex and RE2 agree (no backrefs/lookaround).
+    */
+  val anchorTagRe = "<a href=\"([^\"]+)\">([^<]*)</a>"
 }

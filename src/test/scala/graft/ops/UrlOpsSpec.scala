@@ -75,4 +75,18 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(hrefs == Seq(
       ("https://t1.test/a", "t1.test"), ("http://t2.test:8080/b", "t2.test")))
   }
+
+  test("anchor tag regex yields (href, text) pairs; empty text allowed") {
+    import spark.implicits._
+    val h = """<a href="https://t1.test/a">Go here</a><b>no</b>""" +
+      """<a href="https://t2.test/b"></a><a name="x">not a link</a>"""
+    val pairs = Seq(h).toDF("h")
+      .select(explode(
+        regexp_extract_all(col("h"), lit(UrlOps.anchorTagRe), lit(0))).as("tag"))
+      .select(regexp_extract(col("tag"), UrlOps.anchorTagRe, 1).as("href"),
+        regexp_extract(col("tag"), UrlOps.anchorTagRe, 2).as("text"))
+      .as[(String, String)].collect().toSeq
+    assert(pairs == Seq(
+      ("https://t1.test/a", "Go here"), ("https://t2.test/b", "")))
+  }
 }
