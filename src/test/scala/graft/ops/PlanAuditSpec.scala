@@ -145,6 +145,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!out.contains("CartesianProduct"), "link graph must not cross-join")
   }
 
+  test("hot-stratum top-k queries route through bounded aggregates, not windows") {
+    for (q <- Seq("q_vocab_topk", "q_anchor_text")) {
+      val p = plan(q)
+      assert(p.contains("top_k_strs"),
+        s"$q must use the string-payload bounded top-k aggregate")
+      assert(!p.contains("Window"),
+        s"$q must never sort a hot stratum in a window:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q must stay builtin + native agg")
+    }
+  }
+
+  test("keywords: window partitions by document only, joins stay equi") {
+    val p = plan("q_keywords")
+    assert(!p.contains("CartesianProduct"), "df join must be an equi-join")
+    // the only window is the per-doc top-k (bounded by per-doc vocab);
+    // WindowGroupLimit nodes are the rank-pushdown bonus: Spark caps
+    // each partition to k rows BEFORE the exchange
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"only the per-doc rank window is allowed:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "the top-k limit must push below the exchange")
+  }
+
+  test("crawl delta: no exchange carries the text column") {
+    val df = graft.SparkEntry.queries("q_crawl_delta")(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.map(_.name.toLowerCase).contains("text"),
+        "delta join must shuffle (url, sha) pairs only")
+    }
+  }
+
+  test("crawl rate: pages collapse to days before the host window") {
+    val p = plan("q_crawl_rate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (host, day) count must partially aggregate map-side")
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"one calendar-bounded window expected:\n$p")
+  }
+
+  test("host rank: iterations join on host keys, never a cartesian") {
+    val p = plan("q_host_rank")
+    assert(!p.contains("CartesianProduct"), "rank joins must be equi-joins")
+    assert(!p.contains("ScalaUDF"), "fixed-point arithmetic must stay builtin")
+  }
+
   test("headline pipeline stays inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q_pip_city")(spark, dir)
     val codegen = org.apache.spark.sql.execution.debug
