@@ -938,6 +938,30 @@ object SparkEntry {
       daily.withColumn("cnt_3d", sum(col("cnt")).over(w).cast("long"))
     }),
 
+    // Unicode NFC normalization — the cleaning pass BEFORE any
+    // hashing/dedup stage (composed vs decomposed variants of the same
+    // visible text would otherwise hash apart). Native codegen
+    // expression with an ASCII fast path; the oracle twin is DuckDB's
+    // utf8proc-backed nfc_normalize evaluating the same UAX #15
+    // algorithm. Planted arms: doc_id%3==0 appends a combining-acute
+    // sequence (len shrinks on compose), %3==1 appends U+212B ANGSTROM
+    // SIGN (singleton-composes to U+00C5, same length), %3==2 stays
+    // pure ASCII and must come back unchanged. Shuffle-free scan.
+    "q_text_norm" -> ((s, dir) => {
+      import graft.functions.TextHash
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" cafe\u0301")))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" \u212B")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), raw.as("raw_text"))
+        .withColumn("norm_text", TextHash.nfcNormalize(col("raw_text")))
+        .select(col("doc_id"), col("norm_text"),
+          (col("norm_text") =!= col("raw_text")).cast("long").as("changed"),
+          length(col("raw_text")).cast("long").as("len_raw"),
+          length(col("norm_text")).cast("long").as("len_norm"))
+    }),
+
     // Repetition-based quality filter (the Gopher-style "repetitious
     // text" rules): per-document duplicate-line fraction + duplicate
     // word 2-/3-gram fractions, thresholded to a keep decision. The
@@ -2074,6 +2098,23 @@ object SparkEntry {
            |    AS cnt_3d
            |FROM d""".stripMargin
       },
+
+      // chr(769) = U+0301 COMBINING ACUTE, chr(8491) = U+212B ANGSTROM
+      // SIGN — the same decomposed plants as the Spark side; DuckDB's
+      // utf8proc nfc_normalize evaluates the same UAX #15 algorithm as
+      // java.text.Normalizer.
+      "q_text_norm" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+           |         WHEN doc_id % 3 = 1 THEN text || ' ' || chr(8491)
+           |         ELSE text END AS raw_text
+           |  FROM read_parquet('$oracleSf/documents.parquet'))
+           |SELECT doc_id, nfc_normalize(raw_text) AS norm_text,
+           |  CAST(nfc_normalize(raw_text) <> raw_text AS BIGINT) AS changed,
+           |  CAST(length(raw_text) AS BIGINT) AS len_raw,
+           |  CAST(length(nfc_normalize(raw_text)) AS BIGINT) AS len_norm
+           |FROM d""".stripMargin,
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps

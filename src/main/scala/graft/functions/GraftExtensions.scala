@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Text-hash / dedup surface. Config parameters are expression
     // constants, so they must arrive as foldable literals in SQL.
     add1(ext, "simhash64", SimHash64Expr)
+    add1(ext, "nfc_normalize", NfcNormalizeExpr)
     add2(ext, "jaccard_sorted", SortedJaccardExpr)
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashesExpr(es(0), litInt(es(1), "shingle_hashes(_, n)"))))

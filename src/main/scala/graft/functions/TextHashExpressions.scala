@@ -237,6 +237,41 @@ case class BenchOverlapExpr(child: Expression,
   override def prettyName: String = "bench_overlap"
 }
 
+object TextNormStatics {
+  /** Unicode NFC normalization with an ASCII fast path: web text is
+    * overwhelmingly pure-ASCII per row, and ASCII is NFC by definition,
+    * so the byte scan short-circuits the Normalizer (and its String
+    * round trip) for the common case. Non-ASCII rows normalize via
+    * java.text.Normalizer (UAX #15 — the same algorithm DuckDB's
+    * utf8proc implements, so the SQL twin `nfc_normalize` is exact).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s
+    val str = s.toString
+    val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    if (norm == str) s else UTF8String.fromString(norm)
+  }
+}
+
+/** nfc_normalize(text) -> Unicode NFC form. A codegen'd static call —
+  * the normalization pass before any hashing/dedup stage, so visually
+  * identical composed/decomposed variants hash identically.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextNormStatics.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextNormStatics.nfc($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextHash {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -255,4 +290,5 @@ object TextHash {
     col(ShingleHashesExpr(expr(text), shingleSize))
   def sortedJaccard(a: Column, b: Column): Column =
     col(SortedJaccardExpr(expr(a), expr(b)))
+  def nfcNormalize(text: Column): Column = col(NfcNormalizeExpr(expr(text)))
 }

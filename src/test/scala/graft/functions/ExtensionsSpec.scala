@@ -67,6 +67,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(agg(0).getSeq[Long](1) === Seq(11L, 12L))
       assert(agg(1).getSeq[Long](1) === Seq(20L))
 
+      // NFC normalization from pure SQL (decomposed -> composed); the
+      // combining mark is embedded directly — Spark's chr() is
+      // ASCII-mod-256, unlike DuckDB's codepoint chr()
+      val nrm = spark.sql("SELECT nfc_normalize('café')")
+        .collect()(0).getString(0)
+      assert(nrm == "café")
+
       // string-payload top-k aggregate from pure SQL
       val sagg = spark.sql(
         """SELECT top_k_strs(c, w, 2) FROM VALUES
