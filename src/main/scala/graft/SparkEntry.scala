@@ -1310,6 +1310,40 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // SQ8 quantized ANN: int8 scalar quantization (floor(x*127/maxabs) —
+    // one IEEE double op per element, identical in both engines) then
+    // EXACT integer dot-product top-3 per query via the bounded top-k
+    // aggregate. The 4x-smaller integer scan is the memory-bandwidth
+    // path at corpus scale; recall vs float cosine measured in Sq8Spec.
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.sq8TopK(emb, queries, k = 3)
+    }),
+
+    // Crawl-frontier url-seen screen: bloom filter over the seen urls
+    // (one map-side-combinable build pass; merge = OR), broadcast probe
+    // splits candidates shuffle-free, exact anti-join confirms only the
+    // bloom-positive minority. Result is EXACT (no false negatives), so
+    // the oracle is the plain anti-join. Candidates planted from pages:
+    // revisits (pid%3==0), cross-links to other seen pages (pid%5==0,
+    // url of page pid - pid%7 — scale-free), and new urls (pid%2==0).
+    "q_frontier_bloom" -> ((s, dir) => {
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val seen = p.select(col("url"))
+      val crossPid = pid - pid % 7
+      val candidates = p.filter(pid % 3 === 0).select(col("url"))
+        .unionAll(p.filter(pid % 5 === 0).select(
+          concat(lit("https://example-"), (crossPid % 1000).cast("string"),
+            lit(".test/page/"), crossPid.cast("string")).as("url")))
+        .unionAll(p.filter(pid % 2 === 0).select(
+          concat(lit("https://example-"), (pid % 1000).cast("string"),
+            lit(".test/page/new/"), pid.cast("string")).as("url")))
+      graft.ops.Frontier.newUrls(s, seen, candidates)
+    }),
+
     // Multimodal: REAL decode + feature extraction over binary media
     // payloads (PNG via ImageIO, WAV via javax.sound, PNG-frame video
     // container). Every feature is a deterministic function of the id,
@@ -2526,6 +2560,51 @@ object SparkEntry {
            |      ORDER BY list_cosine_similarity(eq.emb, ec.emb) DESC, ca.vec_id ASC) AS BIGINT) AS rank
            |  FROM cands ca JOIN e eq ON eq.vec_id = ca.q_id JOIN e ec ON ec.vec_id = ca.vec_id)
            |WHERE rank <= 3""".stripMargin,
+
+      // SQ8: identical quantization arithmetic (max-abs in double, one
+      // multiply+divide+floor per element — IEEE-deterministic on both
+      // engines), exact BIGINT code dot rescaled by the corpus vector's
+      // stored factor maxabs/127 (one int64->double conversion + two
+      // IEEE ops on shared operands), top-3 per query by (score, id).
+      "q_ann_sq8" ->
+        s"""WITH e AS (SELECT vec_id, embedding FROM read_parquet('$oracleSf/embeddings.parquet')),
+           | m AS (SELECT vec_id, embedding,
+           |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs FROM e),
+           | c AS (SELECT vec_id, maxabs/127.0 AS scale,
+           |   CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+           |        ELSE list_transform(embedding, x ->
+           |          CAST(floor(CAST(x AS DOUBLE)*127.0/maxabs) AS INTEGER)) END AS codes
+           |   FROM m),
+           | q AS (SELECT vec_id AS q_id, codes AS q_codes FROM c WHERE vec_id < 16),
+           | d AS (SELECT q.q_id, c.vec_id,
+           |   CAST(list_sum(list_transform(list_zip(q.q_codes, c.codes),
+           |     t -> CAST(t[1] AS BIGINT) * t[2])) AS BIGINT)
+           |     * CAST(c.scale AS DOUBLE) AS score
+           |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank FROM d)
+           |WHERE rank <= 3""".stripMargin,
+
+      // The bloom screen's RESULT is exact (false positives only route
+      // extra rows through the confirm join), so the oracle is the plain
+      // distinct anti-join over the same planted candidate arms.
+      "q_frontier_bloom" ->
+        s"""WITH p AS (SELECT url,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')),
+           | cand AS (
+           |   SELECT url FROM p WHERE pid % 3 = 0
+           |   UNION ALL
+           |   SELECT 'https://example-' || CAST((pid - pid % 7) % 1000 AS VARCHAR)
+           |     || '.test/page/' || CAST(pid - pid % 7 AS VARCHAR) AS url
+           |   FROM p WHERE pid % 5 = 0
+           |   UNION ALL
+           |   SELECT 'https://example-' || CAST(pid % 1000 AS VARCHAR)
+           |     || '.test/page/new/' || CAST(pid AS VARCHAR) AS url
+           |   FROM p WHERE pid % 2 = 0)
+           |SELECT DISTINCT c.url FROM cand c
+           |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.url = c.url)""".stripMargin,
 
       // Ground truth for the decoders: payload parameters are pure
       // integer functions of the id (Multimodal.imageDims etc.); the

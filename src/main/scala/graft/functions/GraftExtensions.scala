@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_k_strs"), info("top_k_strs"),
       (es: Seq[Expression]) => TopKStrings(es(0), es(1),
         litInt(es(2), "top_k_strs k"))))
+    // SQ8 integer dot: SELECT vec_dot_i8(a_codes, b_codes)
+    add2(ext, "vec_dot_i8", VecDotIntExpr)
+    // bloom build: SELECT bloom_agg(url, 2097152, 7) (probe needs a
+    // broadcast handle, so it stays a Column API: Bloom.bloomProbe)
+    ext.injectFunction((FunctionIdentifier("bloom_agg"), info("bloom_agg"),
+      (es: Seq[Expression]) => BloomAggregate(es(0),
+        litLong(es(1), "bloom_agg mBits"), litInt(es(2), "bloom_agg k"))))
   }
 
   private def litInt(e: Expression, what: String): Int = litLong(e, what).toInt

@@ -130,9 +130,45 @@ case class VecNorm2Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_norm2"
 }
 
+object VecIntStatics {
+  /** Exact integer dot of two int-code arrays (SQ8 path): products and
+    * the sum in Long — no rounding anywhere, so the value is identical
+    * in any engine and at any summation order. Overflow headroom: dims
+    * up to 2^31 x |code| <= 128 stays under 2^45.
+    */
+  def dotInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    sum
+  }
+}
+
+/** vec_dot_i8(a, b) -> exact BIGINT dot of two int-code arrays. */
+case class VecDotIntExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecIntStatics.dotInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecIntStatics.dotInt($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot_i8"
+}
+
 object Vec {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
   def dot(a: Column, b: Column): Column = col(VecDotExpr(expr(a), expr(b)))
   def norm2(a: Column): Column = col(VecNorm2Expr(expr(a)))
+  def dotInt(a: Column, b: Column): Column =
+    col(VecDotIntExpr(expr(a), expr(b)))
 }

@@ -218,4 +218,72 @@ object Similarity extends Serializable {
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
+
+  /** Scalar int8 quantization (SQ8): per-vector symmetric max-abs scale,
+    * code_i = floor(x_i * 127 / maxabs) — ONE double multiply+divide per
+    * element and then integers everywhere, so scores are exact (the gate
+    * hashes them) and cross-engine deterministic: both engines perform
+    * the identical IEEE double ops on identical float inputs. The codes
+    * column is 4x smaller than float32 (int8 payload in an int array
+    * here; a production sink packs to BINARY), which is the point at
+    * corpus scale: the ANN scan reads a quarter of the bytes.
+    *
+    * The two-step projection (maxabs materialized, then codes) keeps the
+    * per-element lambda from re-folding the maxabs aggregate 64 times —
+    * CollapseProject leaves multi-use non-cheap producers in their own
+    * projection.
+    */
+  def withSq8Codes(df: DataFrame, vecCol: String, out: String,
+                   scaleOut: Option[String] = None): DataFrame = {
+    val coded = df
+      .withColumn("__maxabs",
+        aggregate(col(vecCol), lit(0.0),
+          (m, x) => greatest(m, abs(x.cast("double")))))
+      .withColumn(out,
+        transform(col(vecCol), x =>
+          when(col("__maxabs") === 0.0, lit(0.0))
+            .otherwise(floor(x.cast("double") * lit(127.0) / col("__maxabs")))
+            .cast("int")))
+    scaleOut.fold(coded)(sc =>
+        coded.withColumn(sc, col("__maxabs") / lit(127.0)))
+      .drop("__maxabs")
+  }
+
+  /** Top-k in the quantized dot space: corpus pass computes codes once,
+    * broadcast queries pair against it, and the per-query top-k is the
+    * bounded TopKByScore aggregate — O(k) state through map-side
+    * combine, never a per-query window sort over the corpus.
+    *
+    * Raw code dots are NOT comparable across corpus vectors — each
+    * vector carries its own quantization scale (127/maxabs) — so the
+    * score rescales by the stored per-vector factor, exactly as an SQ
+    * index stores it: score = code_dot * (maxabs_c / 127). (The query's
+    * own factor is a per-query positive constant and cannot reorder its
+    * candidates, so it is dropped.) That is ONE integer->double
+    * conversion and two IEEE ops on operands both engines share
+    * bit-for-bit, so the ordering — and the gate hash — stays exact.
+    * Ties break by corpus id in both engines. Recall vs the float brute
+    * force is measured in Sq8Spec; a production pipeline re-ranks the
+    * top candidates with the float vectors (bruteForceTopK shape over
+    * k' rows).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "q_id", queryVec: String = "q_vec"): DataFrame = {
+    import graft.functions.{TopKByScore, Vec}
+    val c = withSq8Codes(corpus, corpusVec, "c_codes", Some("c_scale"))
+      .select(col(corpusId), col("c_codes"), col("c_scale"))
+    val q = withSq8Codes(queries, queryVec, "q_codes")
+      .select(col(queryId), col("q_codes"))
+    val paired = c.crossJoin(broadcast(q))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("score",
+        Vec.dotInt(col("q_codes"), col("c_codes")).cast("double")
+          * col("c_scale"))
+    paired.groupBy(queryId)
+      .agg(TopKByScore.topKIds(col("score"), col(corpusId), k).as("ids"))
+      .select(col(queryId), posexplode(col("ids")).as(Seq("pos", corpusId)))
+      .select(col(queryId), col(corpusId),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

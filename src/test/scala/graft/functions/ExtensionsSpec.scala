@@ -81,6 +81,24 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       assert(sagg.map(r => (r.getLong(0), r.getString(1))) ===
         Seq((9L, "gamma"), (3L, "alpha")))
+
+      // SQ8 integer dot from pure SQL
+      val i8 = spark.sql(
+        "SELECT vec_dot_i8(array(1, -2, 3), array(4, 5, 6))")
+        .collect()(0).getLong(0)
+      assert(i8 == 4L - 10L + 18L)
+
+      // bloom build from pure SQL; probe the bytes with the kernel
+      val bloomBytes = spark.sql(
+        """SELECT bloom_agg(u, 1024L, 5) FROM VALUES
+          |  ('https://a.test/'), ('https://b.test/') AS t(u)""".stripMargin)
+        .collect()(0).getAs[Array[Byte]](0)
+      val words = BloomStatics.wordsFromBytes(bloomBytes)
+      import org.apache.spark.unsafe.types.UTF8String
+      assert(BloomStatics.mightContain(words, 1024L, 5,
+        UTF8String.fromString("https://a.test/")))
+      assert(!BloomStatics.mightContain(words, 1024L, 5,
+        UTF8String.fromString("https://never-added.test/")))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

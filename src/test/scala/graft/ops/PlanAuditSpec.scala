@@ -118,6 +118,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 ANN: native int-dot kernel, bounded top-k aggregate, no window") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("vec_dot_i8"),
+      "sq8 scoring must route through the native integer-dot expression")
+    assert(p.contains("top_k_ids"),
+      "per-query top-k must be the bounded aggregate")
+    assert(!p.contains("Window"), s"no per-query window sort expected:\n$p")
+    assert(!p.contains("ScalaUDF"), "sq8 path must stay native")
+  }
+
+  test("frontier bloom: codegen probe splits candidates; only the " +
+    "bloom-positive branch reaches the anti-join") {
+    val p = plan("q_frontier_bloom")
+    assert(p.contains("bloom_probe"), s"probe expression missing:\n$p")
+    assert(!p.contains("ScalaUDF"), "bloom path must stay native")
+    // Catalyst pushes the LeftAnti below the candidate Union (one
+    // confirm join per arm, build side dedup'd by exchange reuse) —
+    // fine; what matters is every confirm is an equi hash join and
+    // every one of its probe inputs is bloom-positive-filtered.
+    val antis = "LeftAnti".r.findAllIn(p).size
+    assert(antis >= 1, s"confirm anti-join missing:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti".r
+      .findAllIn(p).size == antis, s"anti-joins must be equi joins:\n$p")
+    assert("NOT bloom_probe".r.findAllIn(p).size >= 1,
+      "the definitely-new branch must bypass the join entirely")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("quota-mix cap aggregates bounded state; only the fill is a window") {
     val p = plan("q_quota_mix")
     assert(p.contains("top_k_ids"),
