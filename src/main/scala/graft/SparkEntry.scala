@@ -1359,6 +1359,36 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"), col("mean0"))
     }),
 
+    // HTML -> text extraction: the input_hint's defining per-row
+    // operation (text IS the extraction of html, byte-identical per
+    // url). Variants planted per pid%4 exercise script+style dropping,
+    // nested tag stripping, and entity decoding with the &amp;-last
+    // rule; arms 0-2 must reproduce the text column byte-for-byte
+    // (matches_text TRUE), arm 3 appends entity-encoded content whose
+    // decode both engines derive independently. Shuffle-free builtin
+    // codegen scan.
+    "q_extract_text" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val p = s.read.parquet(PagesSource.pagesParquet(s, dir))
+      val pid = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val body = decode(col("html"), "UTF-8")
+      val h = when(pid % 4 === 0, body)
+        .when(pid % 4 === 1, concat(
+          lit("<html><head><script type=\"text/javascript\">var x = " +
+            "\"<div>\";\nif (x) { x = 1; }</script><style>.c{color:red}" +
+            "</style></head><body>"),
+          col("text"), lit("</body></html>")))
+        .when(pid % 4 === 2, concat(
+          lit("<html><body><div class=\"m\"><a href=\"https://x.test/\">"),
+          col("text"), lit("</a><br/></div></body></html>")))
+        .otherwise(concat(
+          lit("<html><body>"), col("text"),
+          lit(" &amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>")))
+      val extracted = TextOps.extractText(h)
+      p.select(col("url"), extracted.as("extracted"),
+        (extracted === col("text")).as("matches_text"))
+    }),
+
     // Per-row invariant: text survives the whole pipeline byte-identical
     // per url (join + project + repartition round trip).
     "q_text_invariant" -> ((s, dir) => {
@@ -2630,6 +2660,32 @@ object SparkEntry {
         s"""SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
            |FROM read_parquet('$oracleSf/documents.parquet')
            |GROUP BY text HAVING count(*) >= 1""".stripMargin,
+
+      // Same planted arms, same extraction chain (TextOps.extractTextSql
+      // shares the regex/entity constants with the engine), so extracted
+      // text is byte-identical — including arm 3's entity decode, which
+      // only the oracle's own replace chain derives.
+      "q_extract_text" -> {
+        import graft.ops.TextOps
+        s"""WITH p AS (
+           |  SELECT url, text, decode(html) AS body,
+           |    CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) AS pid
+           |  FROM read_parquet('$oraclePages')
+           |), h AS (
+           |  SELECT url, text, CASE pid % 4
+           |    WHEN 0 THEN body
+           |    WHEN 1 THEN '<html><head><script type="text/javascript">var x = "<div>";'
+           |      || chr(10) || 'if (x) { x = 1; }</script><style>.c{color:red}</style></head><body>'
+           |      || text || '</body></html>'
+           |    WHEN 2 THEN '<html><body><div class="m"><a href="https://x.test/">'
+           |      || text || '</a><br/></div></body></html>'
+           |    ELSE '<html><body>' || text
+           |      || ' &amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>'
+           |  END AS html FROM p)
+           |SELECT url, ${TextOps.extractTextSql("html")} AS extracted,
+           |  (${TextOps.extractTextSql("html")} = text) AS matches_text
+           |FROM h""".stripMargin
+      },
 
       "q_text_invariant" ->
         s"""WITH pages AS (

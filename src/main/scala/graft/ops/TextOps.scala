@@ -253,4 +253,40 @@ object TextOps {
 
   def phoneCountSql(textExpr: String): String =
     s"CAST(len(regexp_extract_all($textExpr, '$phonePattern')) AS BIGINT)"
+
+  /** HTML -> text extraction (the input_hint's core per-row operation:
+    * the `text` column IS the extraction of `html`, byte-identical per
+    * url). Deterministic builtin chain — script/style blocks dropped
+    * whole, remaining tags stripped, then the five standard entities
+    * decoded with `&amp;` LAST so `&amp;lt;` correctly yields the
+    * literal text `&lt;` rather than `<`. All patterns parse the same
+    * under Java regex and RE2 ((?s) + lazy repetition are in both), and
+    * entity decoding is plain substring replace in both engines, so the
+    * extraction is byte-identical across engines.
+    */
+  val scriptBlockRe = "(?s)<script[^>]*>.*?</script>"
+  val styleBlockRe = "(?s)<style[^>]*>.*?</style>"
+  val tagRe = "<[^>]*>"
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&")
+
+  def extractText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, scriptBlockRe, ""), styleBlockRe, "")
+    val noTags = regexp_replace(noBlocks, tagRe, "")
+    htmlEntities.foldLeft(noTags) { case (c, (e, ch)) =>
+      replace(c, lit(e), lit(ch))
+    }
+  }
+
+  def extractTextSql(htmlExpr: String): String = {
+    val noBlocks = s"regexp_replace(regexp_replace($htmlExpr, " +
+      s"'$scriptBlockRe', '', 'g'), '$styleBlockRe', '', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '$tagRe', '', 'g')"
+    htmlEntities.foldLeft(noTags) { case (sql, (e, ch)) =>
+      val chq = if (ch == "'") "''" else ch
+      s"replace($sql, '$e', '$chq')"
+    }
+  }
 }
