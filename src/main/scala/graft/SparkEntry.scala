@@ -705,6 +705,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"))
     }),
 
+    // CCNet-style quality buckets (head/middle/tail per language) via
+    // EXACT integer quantiles: bucket decided by 100*count_le(score) >
+    // pct*n in BIGINT — no float, no approximate percentile, and the
+    // cumulative window runs over the per-lang DISTINCT SCORE DOMAIN
+    // (bounded by construction), never over corpus rows.
+    "q_quality_buckets" -> ((s, dir) => {
+      import graft.ops.{Curation, TextOps}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWhitespace(col("text")).cast("long").as("n_tokens"))
+      Curation.quantileBuckets(docs, "lang", "n_tokens")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"))
+    }),
+
     // Per-domain crawl profile over the pages table: host extracted from
     // the url (same regex, Java and RE2 dialects agree), then one
     // map-side-combinable aggregation keyed on host — page count,
@@ -1953,6 +1967,25 @@ object SparkEntry {
            |      PARTITION BY lang ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM read_parquet('$oracleSf/documents.parquet'))""".stripMargin,
+
+      // Same all-integer cut rule (100*count_le > pct*n) over the same
+      // histogram; ties share a score, so both engines assign buckets
+      // identically regardless of row order.
+      "q_quality_buckets" ->
+        s"""WITH d AS (SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM read_parquet('$oracleSf/documents.parquet')),
+           | h AS (SELECT lang, n_tokens, count(*) AS cnt FROM d GROUP BY 1, 2),
+           | c AS (SELECT lang, n_tokens,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+           |    sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
+           | lab AS (SELECT lang, n_tokens,
+           |    CASE WHEN cle*100 > n*90 THEN 'head'
+           |         WHEN cle*100 > n*50 THEN 'middle'
+           |         ELSE 'tail' END AS bucket FROM c)
+           |SELECT d.doc_id, d.lang, d.n_tokens, lab.bucket
+           |FROM d JOIN lab USING (lang, n_tokens)""".stripMargin,
 
       "q_domain_stats" ->
         s"""SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,

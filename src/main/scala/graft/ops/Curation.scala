@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation: per-domain caps and per-language token-budget quota
@@ -117,5 +118,50 @@ object Curation {
       .withColumn("shard",
         floor((col("_cum") - col(costCol)) / lit(budget)).cast("long"))
       .drop("_bkt", "_off", "_cum")
+  }
+
+  /** CCNet-style quality-bucket assignment (head/middle/tail per
+    * stratum) via EXACT integer quantiles — no approximate percentile,
+    * no float, no whole-stratum sort.
+    *
+    * A document's bucket is decided by its cumulative position in the
+    * per-stratum score distribution: with n docs in the stratum and
+    * count_le(s) = docs scoring <= s, the doc lands in the first bucket
+    * whose cut it clears — `100 * count_le(s) > pct * n` (all BIGINT
+    * arithmetic, so both engines agree exactly; ties share a score and
+    * therefore a bucket, making the assignment deterministic at any
+    * parallelism).
+    *
+    * Scale shape: one map-side-combinable (stratum, score) histogram
+    * exchange, then the cumulative window runs over the DISTINCT VALUE
+    * DOMAIN per stratum (token counts, integer quality grades — bounded
+    * by construction), never over corpus rows: a 10^11-doc 'en' stratum
+    * costs the window only as many rows as it has distinct scores. The
+    * tiny label table joins back broadcast.
+    *
+    * cuts: highest first, e.g. Seq("head" -> 90, "middle" -> 50);
+    * everything below the last cut falls into `restBucket`.
+    */
+  def quantileBuckets(df: DataFrame, stratum: String, scoreCol: String,
+                      cuts: Seq[(String, Int)] = Seq("head" -> 90, "middle" -> 50),
+                      restBucket: String = "tail"): DataFrame = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted.reverse,
+      "cuts must be highest-percentile first")
+    val hist = df.groupBy(col(stratum), col(scoreCol).cast("long").as("_score"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(stratum).orderBy(col("_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(stratum)
+    val labeled = hist
+      .withColumn("_cle", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .withColumn("bucket",
+        cuts.foldRight(lit(restBucket): Column) { case ((name, pct), rest) =>
+          when(col("_cle") * 100 > col("_n") * pct, lit(name)).otherwise(rest)
+        })
+      .select(col(stratum), col("_score"), col("bucket"))
+    df.withColumn("_score", col(scoreCol).cast("long"))
+      .join(broadcast(labeled), Seq(stratum, "_score"))
+      .drop("_score")
   }
 }

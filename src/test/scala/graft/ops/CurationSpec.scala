@@ -214,4 +214,56 @@ class CurationSpec extends AnyFunSuite {
     val wider = ids(docs, Seq("en" -> 60, "de" -> 70))
     assert(base.subsetOf(wider) && wider.size > base.size)
   }
+
+  test("quantileBuckets: exact integer cuts, hand-computed") {
+    import spark.implicits._
+    // 10 docs, scores 1..10: count_le(s)=s, n=10.
+    // head iff 100*s > 900 -> s = 10; middle iff 100*s > 500 -> 6..9.
+    val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "score")
+    val got = Curation.quantileBuckets(docs, "lang", "score")
+      .select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (1 to 10).map(i => i.toLong ->
+      (if (i == 10) "head" else if (i >= 6) "middle" else "tail")).toMap)
+  }
+
+  test("quantileBuckets: ties share a score, so they share a bucket; " +
+    "boundary is strict (100*cle == pct*n stays in the lower bucket)") {
+    import spark.implicits._
+    // 10 docs: score 1 x5, score 2 x4, score 3 x1.
+    // cle(1)=5 -> 500 == 50*10: NOT middle (strict) -> tail
+    // cle(2)=9 -> 900 == 90*10: NOT head (strict) -> middle
+    // cle(3)=10 -> 1000 > 900 -> head
+    val docs = (Seq.fill(5)(1L) ++ Seq.fill(4)(2L) ++ Seq(3L)).zipWithIndex
+      .map { case (s, i) => (i.toLong, "en", s) }
+      .toDF("doc_id", "lang", "score")
+    val got = Curation.quantileBuckets(docs, "lang", "score")
+      .select("score", "bucket").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "tail", 2L -> "middle", 3L -> "head"))
+  }
+
+  test("quantileBuckets: per-stratum independence and parallelism invariance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "de", (rng.nextInt(40) + 5).toLong))
+    def run(parts: Int) = Curation.quantileBuckets(
+        docs.toDF("doc_id", "lang", "score").repartition(parts),
+        "lang", "score")
+      .select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(1); val b = run(7)
+    assert(a == b)
+    // every stratum has all three buckets on this fixture, and head is
+    // the smallest cohort (top decile by count)
+    val byLang = docs.map { case (id, lang, _) => id -> lang }.toMap
+    for (lang <- Seq("en", "de")) {
+      val sizes = a.toSeq.filter(kv => byLang(kv._1) == lang)
+        .groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set("head", "middle", "tail"), s"$lang: $sizes")
+      assert(sizes("head") < sizes("middle") && sizes("head") < sizes("tail"))
+    }
+  }
 }

@@ -147,6 +147,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality buckets: window runs over the aggregated score domain, " +
+    "not corpus rows, and the label table joins back broadcast") {
+    val p = plan("q_quality_buckets")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"histogram must aggregate (partial+final) before the window:\n$p")
+    assert(p.contains("Window"))
+    assert(p.indexOf("Window") > p.indexOf("BroadcastHashJoin"),
+      s"the corpus join must sit ABOVE the window/histogram subtree " +
+        s"(window consumes the aggregated domain, not corpus rows):\n$p")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("quota-mix cap aggregates bounded state; only the fill is a window") {
     val p = plan("q_quota_mix")
     assert(p.contains("top_k_ids"),
