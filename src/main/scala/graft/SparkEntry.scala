@@ -1039,6 +1039,21 @@ object SparkEntry {
         .select("doc_id", "n_spans", "n_dup_spans", "dup_span_frac")
     }),
 
+    // Span-level duplicate REMOVAL (the act stage over q_span_dedup's
+    // measurement): keeper = min doc_id per duplicated 8-token span;
+    // covered token positions drop everywhere else and the text is
+    // rebuilt. Same planted passage as q_span_dedup — doc 0 keeps it,
+    // every other %7 doc loses those windows; natural fixture span
+    // collisions are removed under the same integer rule.
+    "q_span_rewrite" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy dog again and again every single day forever")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.spanDedupRewrite(planted, "doc_id", "text")
+    }),
+
     // Language ID via marker-word scoring with deterministic tie-break.
     "q_lang_id" -> ((s, dir) => {
       graft.ops.TextOps.langId(
@@ -2273,6 +2288,34 @@ object SparkEntry {
            |       THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE) / CAST(len(toks) - 7 AS DOUBLE)
            |       ELSE 0.0 END AS dup_span_frac
            |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+      // Same integer rule: keeper = min(doc_id) per duplicated span;
+      // covered 1-based positions via range (exclusive end, so s..s+7);
+      // DuckDB list_filter's index is 1-based like start1, and
+      // array_to_string([]) is NULL where Spark's array_join gives ''.
+      "q_span_rewrite" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0
+           |       THEN text || ' the quick brown fox jumps over the lazy dog again and again every single day forever'
+           |       ELSE text END AS text
+           |  FROM read_parquet('$oracleSf/documents.parquet')),
+           | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+           | s AS (SELECT doc_id, unnest([{'i': i,
+           |     'sp': array_to_string(toks[i:i+7], ' ')}
+           |   for i in range(1, len(toks) - 6)]) AS u FROM t),
+           | s2 AS (SELECT doc_id, u.i AS start1, u.sp AS span FROM s),
+           | st AS (SELECT span, min(doc_id) AS keeper FROM s2
+           |   GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+           | rem AS (SELECT doc_id, list(DISTINCT start1) AS starts
+           |   FROM s2 JOIN st USING (span) WHERE doc_id <> keeper GROUP BY 1),
+           | cov AS (SELECT t.doc_id, toks,
+           |   list_distinct(flatten([range(s, s+8) for s in coalesce(starts, [])])) AS covered
+           |   FROM t LEFT JOIN rem USING (doc_id))
+           |SELECT doc_id,
+           |  coalesce(array_to_string(
+           |    list_filter(toks, (x, j) -> NOT list_contains(covered, j)), ' '), '') AS clean_text,
+           |  CAST(len(toks) - len(list_filter(toks, (x, j) -> NOT list_contains(covered, j))) AS BIGINT) AS n_removed
+           |FROM cov""".stripMargin,
 
       "q_lang_id" ->
         s"""SELECT doc_id, ${graft.ops.TextOps.langIdSql("text")} AS pred_lang

@@ -428,4 +428,56 @@ object Dedup {
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Span-level duplicate REMOVAL — the "act" stage over spanDupStats'
+    * measurement (the ExactSubstr-style dedup of "Deduplicating
+    * Training Data"): for every span (word window of `spanTokens`)
+    * occurring in >= minDocs distinct documents, the KEEPER is the
+    * smallest doc_id containing it; in every other document, all token
+    * positions covered by that span's occurrences are dropped and the
+    * text is rebuilt from the surviving tokens (order preserved).
+    * Within-document repeats in the keeper survive — the rule removes
+    * cross-document duplication only, which keeps it exactly mirrorable
+    * in SQL (keeper choice is an integer min, coverage is integer
+    * interval arithmetic; no float anywhere).
+    *
+    * Scale shape: the span exchange carries (doc_id, start, span) rows
+    * — never documents; span stats are one two-phase aggregate (min
+    * keeper + distinct-doc count); only duplicated spans join back (the
+    * hot-span key is AQE-splittable); the rebuild is a per-row
+    * builtin-HOF pass over the doc's own tokens. Documents never
+    * shuffle: the removal-starts table (doc_id, array<long>) is the
+    * only thing that joins onto the doc spine.
+    */
+  def spanDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    val spanRows = base
+      .select(col("doc_id"), posexplode(
+        TextOps.wordNgrams(col("__toks"), spanTokens)).as(Seq("pos0", "span")))
+      .filter(col("span") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("start1"),
+        col("span"))
+    val spanStats = spanRows.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= minDocs)
+      .select("span", "keeper")
+    val removals = spanRows.join(spanStats, "span")
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("start1"))).as("__starts"))
+    base.join(removals, Seq("doc_id"), "left")
+      .withColumn("__covered",
+        when(col("__starts").isNull, array().cast("array<bigint>"))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            s => sequence(s, s + lit(spanTokens - 1)))))))
+      .withColumn("__kept",
+        filter(col("__toks"),
+          (_, i) => !array_contains(col("__covered"), (i + 1).cast("long"))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -72,4 +72,55 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(!parts.exists(_.contains("text#")),
       s"document text must never be a shuffle key:\n${parts.mkString("\n")}")
   }
+
+  private def rewrite(texts: Seq[String], span: Int = 4) = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    Dedup.spanDedupRewrite(df, "id", "text", spanTokens = span)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+  }
+
+  test("rewrite: keeper (min doc) keeps the span, the other doc loses " +
+    "exactly the covered positions") {
+    val out = rewrite(Seq("a1 p q r s b1", "a2 p q r s b2"))
+    assert(out(0) == ("a1 p q r s b1", 0L), "keeper untouched")
+    assert(out(1) == ("a2 b2", 4L), "covered window dropped, rest kept")
+  }
+
+  test("rewrite: overlapping duplicated windows remove the coverage UNION") {
+    // 5 shared tokens -> two overlapping 4-windows in both docs
+    val out = rewrite(Seq("a1 p q r s t b1", "a2 p q r s t b2"))
+    assert(out(0)._2 == 0L)
+    assert(out(1) == ("a2 b2", 5L))
+  }
+
+  test("rewrite: short documents and within-keeper repeats are untouched") {
+    val out = rewrite(Seq("p q r s x p q r s", "one two three"))
+    assert(out(0) == ("p q r s x p q r s", 0L),
+      "within-doc repeats are not cross-doc duplicates")
+    assert(out(1) == ("one two three", 0L), "short doc passes through")
+  }
+
+  test("rewrite: a fully copied document empties (clean_text '', all removed)") {
+    val out = rewrite(Seq("p q r s t", "p q r s t"))
+    assert(out(0) == ("p q r s t", 0L))
+    assert(out(1) == ("", 5L))
+  }
+
+  test("rewrite: deterministic at any parallelism") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = Seq.tabulate(60)(i =>
+      if (i % 5 == 0) "p q r s shared tail marker words here"
+      else Seq.fill(10)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def run(parts: Int) = Dedup.spanDedupRewrite(
+        df.repartition(parts), "id", "text", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+  }
 }
