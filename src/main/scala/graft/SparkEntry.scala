@@ -999,6 +999,28 @@ object SparkEntry {
           "dup_3gram_frac", "keep")
     }),
 
+    // Within-document duplicate-line removal (CCNet line dedup): first
+    // occurrence survives, order preserved. Plants: %4==0 appends the
+    // same line 4x (one survives), %4==1 appends interleaved duplicate
+    // lines (alpha/beta each survive once, in first-seen order).
+    // Shuffle-free builtin scan; the full cleaned text is value-hashed.
+    "q_line_dedup" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), repeat(lit("\nbuy cheap widgets today"), 4)))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit("\nalpha line\nbeta line\nalpha line\nbeta line")))
+          .otherwise(col("text")).as("text"))
+      val lines = split(col("text"), "\n")
+      planted.select(col("doc_id"),
+        TextOps.dedupLines(col("text")).as("clean_text"),
+        size(lines).cast("long").as("n_lines"),
+        size(split(TextOps.dedupLines(col("text")), "\n"))
+          .cast("long").as("n_kept"))
+    }),
+
     // Corpus-level boilerplate paragraph removal (CCNet/Dolma cleaning
     // shape): paragraphs appearing in >= 50 distinct docs are stripped
     // from every doc, order preserved. Boilerplate is planted (cookie
@@ -2227,6 +2249,24 @@ object SparkEntry {
            |  CAST(length(raw_text) AS BIGINT) AS len_raw,
            |  CAST(length(nfc_normalize(raw_text)) AS BIGINT) AS len_norm
            |FROM d""".stripMargin,
+
+      // First-occurrence line filter via list_position = 1-based index
+      // (Spark mirrors with array_position = i+1 on its 0-based index).
+      "q_line_dedup" -> {
+        import graft.ops.TextOps
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 4 = 0
+           |         THEN text || repeat(chr(10) || 'buy cheap widgets today', 4)
+           |       WHEN doc_id % 4 = 1
+           |         THEN text || chr(10) || 'alpha line' || chr(10) || 'beta line'
+           |           || chr(10) || 'alpha line' || chr(10) || 'beta line'
+           |       ELSE text END AS text
+           |  FROM read_parquet('$oracleSf/documents.parquet'))
+           |SELECT doc_id, ${TextOps.dedupLinesSql("text")} AS clean_text,
+           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           |  CAST(len(string_split(${TextOps.dedupLinesSql("text")}, chr(10))) AS BIGINT) AS n_kept
+           |FROM d""".stripMargin
+      },
 
       "q_quality_repetition" -> {
         import graft.ops.TextOps

@@ -280,6 +280,25 @@ object TextOps {
     }
   }
 
+  /** Within-document duplicate-line removal (the CCNet line-dedup
+    * cleaning step): keep the FIRST occurrence of each line, order
+    * preserved. Pure per-row array work — `array_position(lines, x) ==
+    * i+1` keeps exactly first occurrences (Spark's filter-lambda index
+    * is 0-based; DuckDB's is 1-based and its list_position is 1-based,
+    * so the SQL twin compares `= i` directly). Shuffle-free builtin
+    * scan; scales with scan bandwidth.
+    */
+  def dedupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (x, i) =>
+        array_position(lines, x) === (i + 1).cast("long")), "\n")
+  }
+
+  def dedupLinesSql(textExpr: String): String =
+    s"array_to_string(list_filter(string_split($textExpr, chr(10)), " +
+      s"(x, i) -> list_position(string_split($textExpr, chr(10)), x) = i), chr(10))"
+
   def extractTextSql(htmlExpr: String): String = {
     val noBlocks = s"regexp_replace(regexp_replace($htmlExpr, " +
       s"'$scriptBlockRe', '', 'g'), '$styleBlockRe', '', 'g')"

@@ -72,7 +72,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("PII redaction and deterministic sampling stay shuffle-free codegen scans") {
     for (q <- Seq("q_pii_redact", "q_sample_stratified", "q_quality_repetition",
-      "q_extract_text")) {
+      "q_extract_text", "q_line_dedup")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must be a single scan pass:\n$p")
       assert(!p.contains("ScalaUDF"), s"$q must stay builtin-only")

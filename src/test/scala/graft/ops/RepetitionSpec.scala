@@ -82,4 +82,15 @@ class RepetitionSpec extends AnyFunSuite {
     val kept = df.agg(sum("keep")).collect()(0).getLong(0)
     assert(kept == 40L, "exactly the natural docs must survive")
   }
+
+  test("dedupLines keeps first occurrences in order; no-newline docs pass") {
+    import spark.implicits._
+    def run(t: String): String =
+      Seq(t).toDF("text").select(TextOps.dedupLines(col("text")))
+        .head.getString(0)
+    assert(run("a\nb\na\nb\nc") == "a\nb\nc", "interleaved duplicates")
+    assert(run("same\nsame\nsame") == "same")
+    assert(run("no newlines at all") == "no newlines at all")
+    assert(run("x\n\ny\n\nx") == "x\n\ny", "empty lines dedup like any line")
+  }
 }
