@@ -1373,6 +1373,18 @@ object SparkEntry {
       graft.ops.Similarity.sq8TopK(emb, queries, k = 3)
     }),
 
+    // The production ANN composition: IVF coarse lists prune the corpus
+    // (nProbe=4 of 16 lists per query), the in-list scan scores SQ8
+    // int8 codes by the exact rescaled integer dot, top-3 via the
+    // bounded aggregate. Same assignment/probe as q_ann_ivf, same
+    // quantization as q_ann_sq8 — the oracle re-runs both stages.
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Similarity.ivfSq8TopK(s, emb, queries, k = 3)
+    }),
+
     // Crawl-frontier url-seen screen: bloom filter over the seen urls
     // (one map-side-combinable build pass; merge = OR), broadcast probe
     // splits candidates shuffle-free, exact anti-join confirms only the
@@ -2727,6 +2739,46 @@ object SparkEntry {
            |     t -> CAST(t[1] AS BIGINT) * t[2])) AS BIGINT)
            |     * CAST(c.scale AS DOUBLE) AS score
            |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, rank FROM (
+           |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank FROM d)
+           |WHERE rank <= 3""".stripMargin,
+
+      // IVF stage copied from q_ann_ivf's oracle (cosine assignment,
+      // nProbe=4, first-wins ties); scoring stage copied from
+      // q_ann_sq8's (codes, rescaled BIGINT dot). Candidates come only
+      // from probed lists; ranking is the quantized ordering.
+      "q_ann_ivf_sq8" ->
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |           [CAST(x AS DOUBLE) for x in embedding] AS emb
+           |           FROM read_parquet('$oracleSf/embeddings.parquet')),
+           | cent AS (SELECT vec_id AS c, emb AS cvec FROM e WHERE vec_id < 16),
+           | assign AS (SELECT vec_id, c FROM (
+           |    SELECT e.vec_id, cent.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.emb, cent.cvec) DESC, cent.c ASC) AS rn
+           |    FROM e CROSS JOIN cent) WHERE rn = 1),
+           | probes AS (SELECT q_id, c FROM (
+           |    SELECT e.vec_id AS q_id, cent.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.emb, cent.cvec) DESC, cent.c ASC) AS rn
+           |    FROM e CROSS JOIN cent WHERE e.vec_id < 16) WHERE rn <= 4),
+           | m AS (SELECT vec_id,
+           |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+           |   embedding FROM e),
+           | codes AS (SELECT vec_id, maxabs/127.0 AS scale,
+           |   CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+           |        ELSE list_transform(embedding, x ->
+           |          CAST(floor(CAST(x AS DOUBLE)*127.0/maxabs) AS INTEGER)) END AS cds
+           |   FROM m),
+           | cands AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (c)
+           |           WHERE a.vec_id <> p.q_id),
+           | d AS (SELECT ca.q_id, ca.vec_id,
+           |   CAST(list_sum(list_transform(list_zip(cq.cds, cc.cds),
+           |     t -> CAST(t[1] AS BIGINT) * t[2])) AS BIGINT)
+           |     * CAST(cc.scale AS DOUBLE) AS score
+           |  FROM cands ca JOIN codes cq ON cq.vec_id = ca.q_id
+           |                JOIN codes cc ON cc.vec_id = ca.vec_id)
            |SELECT q_id, vec_id, rank FROM (
            |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank FROM d)

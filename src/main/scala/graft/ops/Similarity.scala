@@ -124,11 +124,14 @@ object Similarity extends Serializable {
     * first — tighter recall for the cost of kmeansIters extra
     * distributed passes; plan shape is unchanged.
     */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-              corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "q_id", queryVec: String = "q_vec",
-              kmeansIters: Int = 0): DataFrame = {
+  /** Shared IVF stage: corpus rows tagged with their nearest-centroid
+    * list, queries fanned out over their nProbe closest lists.
+    */
+  private def ivfListsAndProbes(spark: SparkSession,
+      corpus: DataFrame, queries: DataFrame,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String): (DataFrame, DataFrame) = {
     val centroids =
       if (kmeansIters > 0)
         kmeansCentroids(spark, corpus, nCentroids, kmeansIters, corpusId, corpusVec)
@@ -160,11 +163,19 @@ object Similarity extends Serializable {
         .sortBy(-_._2).take(nProbe).map(_._1)
     })
 
-    val lists = corpus.withColumn("centroid", assignUdf(col(corpusVec)))
-      .select(col("centroid"), col(corpusId), col(corpusVec))
-    val probes = queries.withColumn("centroid", explode(probeUdf(col(queryVec))))
-      .select(col("centroid"), col(queryId), col(queryVec))
+    (corpus.withColumn("centroid", assignUdf(col(corpusVec)))
+       .select(col("centroid"), col(corpusId), col(corpusVec)),
+     queries.withColumn("centroid", explode(probeUdf(col(queryVec))))
+       .select(col("centroid"), col(queryId), col(queryVec)))
+  }
 
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              kmeansIters: Int = 0): DataFrame = {
+    val (lists, probes) = ivfListsAndProbes(spark, corpus, queries,
+      nCentroids, nProbe, kmeansIters, corpusId, corpusVec, queryId, queryVec)
     val candidates = probes.join(lists, "centroid")
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("cosine", Dedup.cosineCol(col(queryVec), col(corpusVec)))
@@ -173,6 +184,39 @@ object Similarity extends Serializable {
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** The production ANN deployment shape at 10^12 vectors: IVF coarse
+    * lists prune the corpus (only nProbe lists per query are touched),
+    * and the scan WITHIN the probed lists reads SQ8 int8 codes — a
+    * quarter of the float32 bytes — scoring by the exact rescaled
+    * integer dot (sq8TopK's arithmetic, engine-exact). Per-query top-k
+    * is the bounded aggregate, never a window sort. A float re-rank of
+    * the k winners is one more broadcast join at deploy time; the gate
+    * pins the quantized ordering itself.
+    */
+  def ivfSq8TopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                 k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                 corpusId: String = "vec_id", corpusVec: String = "embedding",
+                 queryId: String = "q_id", queryVec: String = "q_vec",
+                 kmeansIters: Int = 0): DataFrame = {
+    import graft.functions.{TopKByScore, Vec}
+    val (lists0, probes0) = ivfListsAndProbes(spark, corpus, queries,
+      nCentroids, nProbe, kmeansIters, corpusId, corpusVec, queryId, queryVec)
+    val lists = withSq8Codes(lists0, corpusVec, "c_codes", Some("c_scale"))
+      .select(col("centroid"), col(corpusId), col("c_codes"), col("c_scale"))
+    val probes = withSq8Codes(probes0, queryVec, "q_codes")
+      .select(col("centroid"), col(queryId), col("q_codes"))
+    val scored = probes.join(lists, "centroid")
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("score",
+        Vec.dotInt(col("q_codes"), col("c_codes")).cast("double")
+          * col("c_scale"))
+    scored.groupBy(queryId)
+      .agg(TopKByScore.topKIds(col("score"), col(corpusId), k).as("ids"))
+      .select(col(queryId), posexplode(col("ids")).as(Seq("pos", corpusId)))
+      .select(col(queryId), col(corpusId),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** ANN top-k via hyperplane LSH banding + exact re-rank of candidates.

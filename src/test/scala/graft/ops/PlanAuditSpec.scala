@@ -120,13 +120,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("sq8 ANN: native int-dot kernel, bounded top-k aggregate, no window") {
-    val p = plan("q_ann_sq8")
-    assert(p.contains("vec_dot_i8"),
-      "sq8 scoring must route through the native integer-dot expression")
-    assert(p.contains("top_k_ids"),
-      "per-query top-k must be the bounded aggregate")
-    assert(!p.contains("Window"), s"no per-query window sort expected:\n$p")
-    assert(!p.contains("ScalaUDF"), "sq8 path must stay native")
+    for (q <- Seq("q_ann_sq8", "q_ann_ivf_sq8")) {
+      val p = plan(q)
+      assert(p.contains("vec_dot_i8"),
+        s"$q scoring must route through the native integer-dot expression")
+      assert(p.contains("top_k_ids"),
+        s"$q per-query top-k must be the bounded aggregate")
+      assert(!p.contains("Window"), s"no per-query window sort in $q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join")
+    }
+    assert(!plan("q_ann_sq8").contains("ScalaUDF"),
+      "the pure sq8 path must stay native (IVF assignment is the one " +
+        "justified broadcast-centroid UDF, as in q_ann_ivf)")
   }
 
   test("frontier bloom: codegen probe splits candidates; only the " +

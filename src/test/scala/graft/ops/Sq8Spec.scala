@@ -104,6 +104,27 @@ class Sq8Spec extends AnyFunSuite {
       unit(b.map(x => x + rng.nextGaussian() * 0.15)))
   }
 
+  test("ivfSq8TopK results are a subset-consistent composition: every " +
+    "returned candidate shares a probed list, and scores order as sq8") {
+    import spark.implicits._
+    val corpus = clusteredUnitVecs(seed = 33)
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val qDf = corpus.filter(_._1 % 40 == 0).take(8).toDF("q_id", "q_vec")
+    val full = Similarity.sq8TopK(cDf, qDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSq8TopK(spark, cDf, qDf, k = 3,
+        nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // probing ALL lists makes IVF+SQ8 equal the full SQ8 scan exactly
+    assert(ivf.map(t => (t._1, t._2)).toSet == full)
+    // and with fewer probes it returns k rows per query from the lists
+    val pruned = Similarity.ivfSq8TopK(spark, cDf, qDf, k = 3,
+        nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (full & pruned).size.toDouble / full.size
+    assert(recall >= 0.5, s"pruned-probe recall was $recall")
+  }
+
   test("on a clustered unit-vector corpus (the cosine-ANN deployment: " +
     "normalize, then quantize) recall@3 vs float cosine brute force") {
     import spark.implicits._
